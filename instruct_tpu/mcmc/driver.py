@@ -1,0 +1,146 @@
+"""Chain driver: vmapped chains, `lax.scan` step loop, retry-on-empty-cluster.
+
+Replaces the sequential chain loop of the reference (InStruct.c:182-193):
+all chains advance in lockstep as a vmapped leading axis, shardable over a
+device mesh.  A chain flagged by the empty-cluster guard is rerun with a
+fresh key, mirroring the `chn--` retry (InStruct.c:185-190) — unflagged
+chains are replayed with their original keys so the retry loop is
+deterministic and recompile-free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instruct_tpu.config import ModelSpec, Schedule
+from instruct_tpu.data.dataset import Dataset
+from instruct_tpu.mcmc import updates as up
+from instruct_tpu.mcmc.accumulators import (ChainAccum, accum_update,
+                                            extract_stats, init_accum,
+                                            variance)
+from instruct_tpu.mcmc.state import McmcState, init_state
+from instruct_tpu.mcmc.step import build_step
+
+
+@dataclasses.dataclass
+class RunResult:
+    """Posterior summaries for all chains (leading axis = chain)."""
+
+    accum: ChainAccum          # streaming moments per chain
+    final_state: McmcState     # last draw per chain (for resume / debugging)
+    n_retries: int
+
+    @property
+    def posterior_mean(self):
+        return self.accum.mean
+
+    @property
+    def posterior_var(self):
+        return jax.tree.map(lambda m2, m: m2 - m * m,
+                            self.accum.mean_sq, self.accum.mean)
+
+    def dic(self) -> np.ndarray:
+        """Per-chain DIC as the reference computes it
+        (print_lkh_to_file, result_analysis.c:403-411):
+        DIC = -4 E[logL] + 2 sum_j E[logL_j]."""
+        mean_total = np.asarray(self.accum.mean.total_ll)
+        mean_indv = np.asarray(self.accum.mean.indv_ll).sum(axis=-1)
+        return -4.0 * mean_total + 2.0 * mean_indv
+
+
+def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
+                  track_freq: bool):
+    step = build_step(spec, data)
+    check_at = (-1 if (spec.mode == 0 and spec.ploid == 2)
+                else sched.nstep_check_empty_cluster)
+
+    def run_chain(key: jax.Array, init_rates: Optional[jnp.ndarray]):
+        k_init, k_steps = jax.random.split(key)
+        state = init_state(k_init, spec, data, init_rates)
+        accum = init_accum(spec, sched, data, track_freq)
+
+        def body(carry, step_idx):
+            state, accum = carry
+            state = step(state, jax.random.fold_in(k_steps, step_idx))
+            stored = ((step_idx >= sched.burnin)
+                      & ((step_idx + 1 - sched.burnin) % sched.thinning == 0))
+            stats = extract_stats(spec, state, track_freq)
+            empty = up.empty_cluster_flag(stats.q)
+            accum = accum_update(accum, stats, stored, empty, check_at)
+            return (state, accum), None
+
+        (state, accum), _ = jax.lax.scan(
+            body, (state, accum), jnp.arange(sched.n_iter, dtype=jnp.int32))
+        return state, accum
+
+    return run_chain
+
+
+def run_mcmc(
+    data: Dataset,
+    spec: ModelSpec,
+    sched: Schedule,
+    key: jax.Array,
+    init_rates: Optional[np.ndarray] = None,
+    track_freq: bool = False,
+    max_retries: int = 10,
+    mesh=None,
+) -> RunResult:
+    """Run ``sched.n_chains`` chains and return streaming posterior moments.
+
+    ``init_rates`` optionally gives per-chain initial S/F vectors
+    [n_chains, R] (the role of the `-i` initial file, initial.c:38-126);
+    otherwise each chain draws U(0,1) starts.
+
+    With ``mesh`` (a ("chain","data") `jax.sharding.Mesh`), chains are
+    sharded over the "chain" axis and the loci axis over "data"; GSPMD
+    propagates the shardings through the step and inserts the collectives
+    (psum of q-counts / log-liks across loci shards).
+    """
+    n_chains = sched.n_chains
+    r = spec.n_rates(data.n_indv)
+    if init_rates is None:
+        none_rates = True
+        init_rates = jnp.zeros((n_chains, max(r, 1)), jnp.float32)
+    else:
+        none_rates = False
+        init_rates = jnp.asarray(init_rates, jnp.float32).reshape(n_chains, -1)
+
+    chain_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
+        jnp.arange(n_chains))
+
+    if mesh is not None:
+        from instruct_tpu.parallel.mesh import chain_sharding, shard_dataset
+        data = shard_dataset(mesh, data)
+        if n_chains % mesh.devices.shape[0] == 0:
+            cs = chain_sharding(mesh)
+            chain_keys = jax.device_put(chain_keys, cs)
+            init_rates = jax.device_put(init_rates, cs)
+
+    run_chain = _chain_runner(spec, sched, data, track_freq)
+
+    def per_chain(key, rates_row):
+        rates0 = None if none_rates else rates_row[:r]
+        return run_chain(key, rates0)
+
+    vrun = jax.jit(jax.vmap(per_chain, in_axes=(0, 0)))
+    state, accum = vrun(chain_keys, init_rates)
+
+    retries = 0
+    flags = np.asarray(accum.empty_cluster)
+    while flags.any() and retries < max_retries:
+        retries += 1
+        fresh = jax.vmap(
+            lambda c: jax.random.fold_in(jax.random.fold_in(key, 10_000 + retries), c)
+        )(jnp.arange(n_chains))
+        chain_keys = jnp.where(jnp.asarray(flags)[:, None], fresh, chain_keys)
+        state, accum = vrun(chain_keys, init_rates)
+        flags = np.asarray(accum.empty_cluster)
+
+    return RunResult(accum=accum, final_state=state, n_retries=retries)

@@ -1,0 +1,126 @@
+"""Sampler state pytree and initialisation.
+
+The reference's per-step mutable state is the UPMCMC struct (mcmc.h, alloc at
+mcmc.c:506-546).  Here it is an immutable NamedTuple of dense arrays; fields
+that a mode does not use are zero-size so one type serves every mode and
+`vmap`/`pjit` stay shape-polymorphic over chains.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from instruct_tpu.config import ModelSpec
+from instruct_tpu.data.dataset import Dataset
+
+
+class McmcState(NamedTuple):
+    """One chain's sampler state (cf. UPMCMC, mcmc.h)."""
+
+    freq: jnp.ndarray         # f32[K, L, A] — P (allele freqs per pop/locus)
+    z: jnp.ndarray            # i32[N, L, P] per-copy pop assignments
+    #   (modes 1-5; mode 0 uses zz instead and z is size-0)
+    zz: jnp.ndarray           # i32[N] per-individual assignment (mode 0 only)
+    q: jnp.ndarray            # f32[N, K] admixture proportions (modes 1-5)
+    alpha: jnp.ndarray        # f32[] Dirichlet concentration of Q's prior
+    rates: jnp.ndarray        # f32[R] selfing rates S or inbreeding F
+    #   (R = K for modes 2/4/tetra, N for 3/5, 0 otherwise)
+    ais_state: jnp.ndarray    # i32[R] 3-state flag of the adaptive
+    #   independence sampler (dt_stat, mcmc.c:1524-1546); unused if back_refl
+    gen: jnp.ndarray          # i32[N] selfing generations (modes 2/3)
+    loglik_indv: jnp.ndarray  # f32[N] cal_lkh per-individual log-lik
+    loglik_total: jnp.ndarray  # f32[]
+
+
+def _dt_stat(rates: jnp.ndarray) -> jnp.ndarray:
+    """3-state classification of S/F: {0}, (0,1), {1} with eps=1e-3
+    (dt_stat, mcmc.c:1524-1546)."""
+    eps = 1e-3
+    return jnp.where(rates <= eps, 0, jnp.where(rates >= 1.0 - eps, 2, 1))
+
+
+def init_state(
+    key: jax.Array,
+    spec: ModelSpec,
+    data: Dataset,
+    init_rates: Optional[jnp.ndarray] = None,
+) -> McmcState:
+    """Draw the initial state for one chain.
+
+    Mirrors the per-mode initialisation blocks: alpha ~ U[0,10]*
+    (initial_chn, mcmc.c:479); S from the initial file or U[0,1]
+    (read_init, initial.c:56-68 / mcmc.c:200-205); G ~ Geom capped
+    (mcmc.c:196-199, 326-331); Z uniform then Q|Z (update_ZQ init_flag=1,
+    mcmc.c:1122-1199).  P starts at the uniform simplex; the first
+    update_P overwrites it before any use, matching the reference where the
+    step loop leads with update_P.
+    """
+    n, l, p = data.geno.shape
+    k = spec.n_pops
+    a = data.allele_valid.shape[1]
+    r = spec.n_rates(n)
+    kz, kq, kal, ks, kg = jax.random.split(key, 5)
+
+    valid_f = data.allele_valid.astype(jnp.float32)
+    freq = valid_f / jnp.maximum(valid_f.sum(-1, keepdims=True), 1.0)
+    freq = jnp.broadcast_to(freq[None], (k, l, a)).astype(jnp.float32)
+
+    if spec.mode == 0 and spec.ploid == 2:
+        zz = jax.random.randint(kz, (n,), 0, k)
+        z = jnp.zeros((0, 0, 0), jnp.int32)
+        q = jnp.zeros((0, 0), jnp.float32)
+        alpha = jnp.zeros((), jnp.float32)
+    else:
+        zz = jnp.zeros((0,), jnp.int32)
+        z = jax.random.randint(kz, (n, l, p), 0, k)
+        counts = masked_z_counts(z, data, k)
+        alpha = jax.random.uniform(kal) * spec.alpha_prior_max
+        q = _dirichlet(kq, counts + alpha)
+
+    if r > 0:
+        if init_rates is None:
+            rates = jax.random.uniform(ks, (r,))
+        else:
+            rates = jnp.asarray(init_rates, jnp.float32).reshape(r)
+    else:
+        rates = jnp.zeros((0,), jnp.float32)
+    ais_state = _dt_stat(rates).astype(jnp.int32)
+
+    if spec.has_selfing:
+        if spec.mode == 2:
+            # gen ~ Geom(ran1()) i.e. geometric with a *random* success prob
+            # (mcmc.c:196-199).
+            u = jax.random.uniform(kg, (n,), minval=1e-6, maxval=1.0 - 1e-6)
+            psucc = jax.random.uniform(jax.random.fold_in(kg, 1), (n,),
+                                       minval=1e-6, maxval=1.0 - 1e-6)
+        else:
+            # mode 3: gen ~ Geom(1 - s_i) (mcmc.c:329-331).
+            u = jax.random.uniform(kg, (n,), minval=1e-6, maxval=1.0 - 1e-6)
+            psucc = jnp.clip(1.0 - rates, 1e-6, 1.0 - 1e-6)
+        gen = 1 + jnp.floor(jnp.log(u) / jnp.log1p(-psucc)).astype(jnp.int32)
+        gen = jnp.clip(gen, 1, spec.gen_cap)
+    else:
+        gen = jnp.zeros((0,), jnp.int32)
+
+    return McmcState(
+        freq=freq, z=z, zz=zz, q=q, alpha=alpha, rates=rates,
+        ais_state=ais_state, gen=gen,
+        loglik_indv=jnp.zeros((n,), jnp.float32),
+        loglik_total=jnp.zeros((), jnp.float32),
+    )
+
+
+def _dirichlet(key, conc):
+    g = jax.random.gamma(key, jnp.maximum(conc, 1e-6))
+    return g / jnp.maximum(g.sum(-1, keepdims=True), 1e-30)
+
+
+def masked_z_counts(z, data: Dataset, n_pops: int) -> jnp.ndarray:
+    """qqnum f32[N, K]: valid allele copies of each individual assigned to
+    each pop (the Q-count loop of update_ZQ, mcmc.c:1176-1194)."""
+    oh = jax.nn.one_hot(z, n_pops, dtype=jnp.float32)      # [N, L, P, K]
+    oh = oh * data.site_valid[:, :, None, None]
+    return oh.sum(axis=(1, 2))

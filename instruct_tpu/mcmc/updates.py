@@ -1,0 +1,398 @@
+"""Vectorized Gibbs / Metropolis-Hastings update kernels.
+
+Each function replaces one `update_*` kernel of mcmc.c with a dense device
+computation over the whole [N, L] site grid; sweeps over individuals/pops
+become vmapped axes (when the conditional factorizes) or a `lax.scan` over
+the tiny K axis (when it does not).
+
+Reference parity map:
+  update_freq          <- update_P          (mcmc.c:799-861)
+  update_zq            <- update_ZQ         (mcmc.c:1122-1203)
+  update_z_noadmix     <- update_Z          (mcmc.c:1094-1119)
+  update_alpha         <- update_alpha      (mcmc.c:1244-1263), with the
+                          *correct* symmetric-Dirichlet density ratio — the
+                          reference's pow-product ratio (mcmc.c:1258) drops
+                          the Gamma-function normalisers (survey §2.1 quirk)
+  update_s_pop         <- update_S_POP      (mcmc.c:913-983) with the
+                          proposal() target (mcmc.c:1630-1648)
+  update_gen           <- update_G          (mcmc.c:1053-1091)
+  update_s_ind         <- update_S_IND      (mcmc.c:864-886)
+  update_f_pop         <- update_inbreedcoff_POP (mcmc.c:986-1050), with a
+                          correct MH acceptance — the reference exponentiates
+                          MIN2(1, logratio) (mcmc.c:1040, survey quirk)
+  update_f_ind         <- update_F_IND      (mcmc.c:888-910)
+  adaptive independence sampler <- adpt_indp/dt_stat/hastings_stat/q
+                          (mcmc.c:1461-1593)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instruct_tpu.config import ModelSpec
+from instruct_tpu.data.dataset import Dataset
+from instruct_tpu.mcmc.state import McmcState, masked_z_counts
+from instruct_tpu.model import likelihood as lk
+
+_EPS = 1e-30
+
+
+def _slog(x):
+    return jnp.log(jnp.maximum(x, _EPS))
+
+
+def dirichlet_from_counts(key, conc, valid=None):
+    """Sample Dirichlet(conc) rows by gamma-normalisation, respecting a
+    padding mask (replaces rdirich, random.c — gamma draws + normalize)."""
+    safe = jnp.maximum(conc, 1e-6)
+    if valid is not None:
+        safe = jnp.where(valid, safe, 1.0)
+    g = jax.random.gamma(key, safe)
+    if valid is not None:
+        g = jnp.where(valid, g, 0.0)
+    return g / jnp.maximum(g.sum(-1, keepdims=True), _EPS)
+
+
+# ---------------------------------------------------------------------------
+# P — allele frequencies
+# ---------------------------------------------------------------------------
+
+def allele_pop_counts(spec: ModelSpec, data: Dataset, z, zz) -> jnp.ndarray:
+    """seqpop f32[K, L, A]: valid allele copies per (pop, locus, allele)
+    (the counting loops of update_P, mcmc.c:815-845).
+
+    Modes 1-5: contraction over (individual, copy) of one-hot(z) x
+    one-hot(allele) — a batched matmul over loci that maps onto the MXU.
+    Mode 0: the per-individual count matrix contracted with one-hot(zz).
+    """
+    n, l, p = data.geno.shape
+    a = data.allele_valid.shape[1]
+    k = spec.n_pops
+    if spec.mode == 0 and spec.ploid == 2:
+        cnt = lk.allele_count_matrix(data).reshape(n, l, a)
+        zoh = jax.nn.one_hot(zz, k, dtype=jnp.float32)      # [N, K]
+        return jnp.einsum("nk,nla->kla", zoh, cnt)
+    zoh = jax.nn.one_hot(z, k, dtype=jnp.float32)           # [N, L, P, K]
+    aoh = jax.nn.one_hot(data.geno, a, dtype=jnp.float32)   # [N, L, P, A]
+    zoh = zoh * data.site_valid[:, :, None, None]
+    # [N,L,P,K] x [N,L,P,A] -> [K,L,A]; batched over L, contraction (N,P).
+    return jnp.einsum("nlpk,nlpa->kla", zoh, aoh)
+
+
+def update_freq(key, spec: ModelSpec, data: Dataset, z, zz) -> jnp.ndarray:
+    """P | Z ~ Dirichlet(counts + 1) per (pop, locus), padded alleles masked
+    (update_P, mcmc.c:846-857; the +1 pseudocount is lambda=1.0 at
+    mcmc.c:805)."""
+    counts = allele_pop_counts(spec, data, z, zz)
+    return dirichlet_from_counts(key, counts + 1.0, data.allele_valid[None])
+
+
+# ---------------------------------------------------------------------------
+# Z, Q — assignments and admixture proportions
+# ---------------------------------------------------------------------------
+
+def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
+              init: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gibbs z per allele copy then Q | Z ~ Dirichlet(counts + alpha)
+    (update_ZQ, mcmc.c:1122-1199).
+
+    z[n,l,c] ~ Cat_k( q[n,k] * freq[k, l, a_{nlc}] ) — mcmc.c:1146;
+    at init (init_flag=1) z is uniform over pops — mcmc.c:1144.
+    Returns (z, q, qqnum).
+    """
+    kz, kq = jax.random.split(key)
+    n, l, p = data.geno.shape
+    k = spec.n_pops
+    if init:
+        z = jax.random.randint(kz, (n, l, p), 0, k)
+    else:
+        per_pop = lk.gather_freq_all_pops(freq, data.geno)   # [N, L, P, K]
+        logits = _slog(per_pop) + _slog(q)[:, None, None, :]
+        z = jax.random.categorical(kz, logits, axis=-1)
+    qqnum = masked_z_counts(z, data, k)
+    q_new = dirichlet_from_counts(kq, qqnum + alpha)
+    return z, q_new, qqnum
+
+
+def update_z_noadmix(key, data: Dataset, freq) -> jnp.ndarray:
+    """Mode 0: one z per individual, Gibbs over K with full-genome log-liks
+    (update_Z, mcmc.c:1094-1119 via log_ld_indv_K)."""
+    ll = lk.loglik_matrix_nopop_admix(data, freq)            # [N, K]
+    return jax.random.categorical(key, ll, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# alpha — concentration of the Q prior
+# ---------------------------------------------------------------------------
+
+def update_alpha(key, spec: ModelSpec, q, alpha) -> jnp.ndarray:
+    """MH on alpha with a Normal(alpha, 1) proposal (update_alpha,
+    mcmc.c:1244-1263).
+
+    Target: prod_i Dirichlet(q_i | alpha * 1_K).  We use the correct density
+    ratio including the Gamma normalisers
+        N [lnG(K a') - K lnG(a')] - N [lnG(K a) - K lnG(a)]
+        + (a' - a) sum_{i,m} log q_im,
+    where the reference's ratio (mcmc.c:1258) keeps only the pow() products.
+    Proposals <= 0 are rejected outright, as in the reference.
+    """
+    ku, ka = jax.random.split(key)
+    k = spec.n_pops
+    prop = alpha + spec.alpha_sd * jax.random.normal(ka)
+    n = q.shape[0]
+    sum_log_q = _slog(q).sum()
+
+    def norm_term(a):
+        return n * (jax.lax.lgamma(k * a) - k * jax.lax.lgamma(a))
+
+    safe_prop = jnp.maximum(prop, 1e-6)
+    log_ratio = (norm_term(safe_prop) - norm_term(alpha)
+                 + (safe_prop - alpha) * sum_log_q)
+    accept = (prop > 0) & (jnp.log(jax.random.uniform(ku, minval=_EPS))
+                           < log_ratio)
+    return jnp.where(accept, safe_prop, alpha)
+
+
+# ---------------------------------------------------------------------------
+# Proposals for [0,1]-valued rates: back-reflection & adaptive independence
+# ---------------------------------------------------------------------------
+
+def back_reflect(x):
+    """Reflective bounds on [0,1] (mcmc.c:942-945)."""
+    x = jnp.abs(x)
+    return jnp.where(x >= 1.0, 2.0 - x, x)
+
+
+def propose_back_reflection(key, rates, delta0):
+    """Random walk +-delta0 with reflection (mcmc.c:939-945)."""
+    step = jax.random.uniform(key, rates.shape) * 2.0 * delta0 - delta0
+    return back_reflect(rates + step)
+
+
+def propose_adaptive_independence(key, rates, ais_state):
+    """3-state adaptive independence sampler (adpt_indp, mcmc.c:1461-1519).
+
+    States: 0 -> {0}, 1 -> (0,1), 2 -> {1}.  Transition kernel:
+      from 0: 0.5 stay at 0.0, 0.5 draw U(0,1)
+      from 2: 0.5 stay at 1.0, 0.5 draw U(0,1)
+      from 1: 0.05 -> 0.0, 0.05 -> 1.0, 0.90 draw U(0,1)
+    Returns (proposed_rates, proposed_state, log_hastings) where
+    log_hastings = sum log q(prev|new)/q(new|prev) (hastings_stat,
+    mcmc.c:1550-1593); elements are combined per-coordinate so callers
+    updating one coordinate at a time can index into it.
+    """
+    ku, kv = jax.random.split(key)
+    u = jax.random.uniform(ku, rates.shape)
+    fresh = jax.random.uniform(kv, rates.shape)
+
+    # next state
+    st0 = jnp.where(u < 0.5, 0, 1)
+    st2 = jnp.where(u < 0.5, 2, 1)
+    st1 = jnp.where(u <= 0.05, 0, jnp.where(u >= 0.95, 2, 1))
+    new_state = jnp.where(ais_state == 0, st0,
+                          jnp.where(ais_state == 2, st2, st1))
+    new_rates = jnp.where(new_state == 0, 0.0,
+                          jnp.where(new_state == 2, 1.0, fresh))
+
+    def q_trans(a, b):
+        # q(a -> b) as in q() (mcmc.c:1566-1593)
+        from0 = jnp.where(b == 2, 0.0, 0.5)
+        from2 = jnp.where(b == 0, 0.0, 0.5)
+        from1 = jnp.where(b == 1, 0.90, 0.05)
+        return jnp.where(a == 0, from0, jnp.where(a == 2, from2, from1))
+
+    log_hastings = (_slog(q_trans(new_state, ais_state))
+                    - _slog(q_trans(ais_state, new_state)))
+    return new_rates, new_state, log_hastings
+
+
+# ---------------------------------------------------------------------------
+# S — selfing rates
+# ---------------------------------------------------------------------------
+
+def _geom_loglik(sbar, gen):
+    """sum_i log( sbar_i^{gen_i - 1} (1 - sbar_i) ) — proposal(),
+    mcmc.c:1630-1648.  gen==1 contributes no sbar term even when sbar==0."""
+    g1 = (gen - 1).astype(sbar.dtype)
+    t = jnp.where(g1 > 0, g1 * _slog(sbar), 0.0) + _slog(1.0 - sbar)
+    return t.sum()
+
+
+def update_s_pop(key, spec: ModelSpec, q, gen, rates, ais_state):
+    """Mode 2: MH per subpopulation on S (update_S_POP, mcmc.c:913-983).
+
+    Target is the likelihood of the generation latents given the expected
+    per-individual selfing rate sbar_i = sum_k q_ik s_k (proposal(),
+    mcmc.c:1630-1648).  Pops are updated one at a time (the target couples
+    them through sbar) via a lax.scan over the K axis; each evaluation is
+    O(N) thanks to the rank-1 update sbar' = sbar + q[:, j] (s'_j - s_j).
+    """
+    k = spec.n_pops
+    keys = jax.random.split(key, k)
+
+    kprop = jax.random.fold_in(key, 17)
+    if spec.back_refl == 1:
+        proposals = propose_back_reflection(kprop, rates, spec.mh_step_s)
+        prop_states = ais_state
+        log_hast = jnp.zeros((k,))
+    else:
+        proposals, prop_states, log_hast = propose_adaptive_independence(
+            kprop, rates, ais_state)
+
+    def body(carry, j):
+        rates_c, states_c, sbar = carry
+        s_new = proposals[j]
+        sbar_new = sbar + q[:, j] * (s_new - rates_c[j])
+        log_ratio = (_geom_loglik(sbar_new, gen) - _geom_loglik(sbar, gen)
+                     + log_hast[j])
+        u = jax.random.uniform(keys[j], minval=_EPS)
+        accept = jnp.log(u) < log_ratio
+        rates_c = rates_c.at[j].set(jnp.where(accept, s_new, rates_c[j]))
+        states_c = states_c.at[j].set(
+            jnp.where(accept, prop_states[j], states_c[j]))
+        sbar = jnp.where(accept, sbar_new, sbar)
+        return (rates_c, states_c, sbar), None
+
+    sbar0 = q @ rates
+    (rates, ais_state, _), _ = jax.lax.scan(
+        body, (rates, ais_state, sbar0), jnp.arange(k))
+    return rates, ais_state
+
+
+def update_s_ind(key, spec: ModelSpec, gen, rates):
+    """Mode 3 uniform prior: per-individual MH random walk on S with the
+    geometric likelihood of G (update_S_IND, mcmc.c:864-886).  Individuals
+    are conditionally independent, so all N proposals run in parallel."""
+    kp, ku = jax.random.split(key)
+    prop = propose_back_reflection(kp, rates, spec.mh_step_s)
+    g1 = (gen - 1).astype(rates.dtype)
+
+    def ll(s):
+        return jnp.where(g1 > 0, g1 * _slog(s), 0.0) + _slog(1.0 - s)
+
+    log_ratio = ll(prop) - ll(rates)
+    u = jax.random.uniform(ku, rates.shape, minval=_EPS)
+    return jnp.where(jnp.log(u) < log_ratio, prop, rates)
+
+
+# ---------------------------------------------------------------------------
+# G — selfing generations
+# ---------------------------------------------------------------------------
+
+def sample_geometric(key, sbar, cap):
+    """g ~ Geom(1 - sbar) on {1, 2, ...} clipped to [1, cap] with the
+    boundary-state overrides of update_G (mcmc.c:1071-1084): sbar ~= 0 ->
+    g = 1, sbar ~= 1 -> g = cap."""
+    eps = 1e-3
+    u = jax.random.uniform(key, sbar.shape, minval=1e-12, maxval=1.0)
+    s = jnp.clip(sbar, 1e-6, 1.0 - 1e-6)
+    g = 1 + jnp.floor(jnp.log(u) / jnp.log(s)).astype(jnp.int32)
+    g = jnp.clip(g, 1, cap)
+    g = jnp.where(sbar <= eps, 1, g)
+    g = jnp.where(sbar >= 1.0 - eps, cap, g)
+    return g
+
+
+def update_gen(key, spec: ModelSpec, data: Dataset, freq, z, q, rates,
+               gen) -> jnp.ndarray:
+    """Modes 2/3: MH on the per-individual selfing-generation counts
+    (update_G, mcmc.c:1053-1091).
+
+    Proposal g' ~ Geom(1 - sbar_i) equals the conditional prior, so the
+    acceptance ratio reduces to the genotype-likelihood ratio
+    exp(log_ld_indv(g') - log_ld_indv(g)) — exactly mcmc.c:1085.  All N
+    individuals are independent given (P, Z, Q, S): one parallel sweep.
+    """
+    kg, ku = jax.random.split(key)
+    if spec.mode == 2:
+        sbar = q @ rates                     # mcmc.c:1063-1066
+    else:
+        sbar = rates                         # mcmc.c:1069
+    prop = sample_geometric(kg, sbar, spec.gen_cap)
+    ll_prop = lk.per_indv_loglik(spec, data, freq, z, q, prop, rates)
+    ll_cur = lk.per_indv_loglik(spec, data, freq, z, q, gen, rates)
+    u = jax.random.uniform(ku, gen.shape, minval=_EPS)
+    return jnp.where(jnp.log(u) < ll_prop - ll_cur, prop, gen)
+
+
+# ---------------------------------------------------------------------------
+# F — inbreeding coefficients
+# ---------------------------------------------------------------------------
+
+def _f_site_terms(spec, data, freq, z):
+    """Shared per-site quantities for the F updates: (pz0, pz1, joint_mask)
+    where joint_mask marks valid sites whose copies share one pop — only
+    those depend on F (log_ld_F_*, mcmc.c:1789-1805)."""
+    pz = lk.gather_freq_at_z(freq, data.geno, z)
+    same_z = jnp.all(z == z[:, :, :1], axis=-1)
+    mask = same_z & data.site_valid
+    return pz, mask
+
+
+def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
+                 ais_state):
+    """Mode 4: MH on per-subpop inbreeding coefficients
+    (update_inbreedcoff_POP, mcmc.c:986-1050).
+
+    F_j only affects sites with both copies assigned to pop j, so the K
+    acceptance decisions decouple and run in parallel: per-site log-ratio,
+    segment-summed into K via a one-hot contraction.
+
+    Note: the reference computes `exp(MIN2(1, logratio))` (mcmc.c:1040) —
+    a bug acknowledged in the survey; we apply standard MH.
+    """
+    pz, mask = _f_site_terms(spec, data, freq, z)
+    if spec.back_refl == 1:
+        prop = propose_back_reflection(jax.random.fold_in(key, 0), rates,
+                                       spec.mh_step_s)
+        prop_states = ais_state
+        log_hast = jnp.zeros_like(rates)
+    else:
+        prop, prop_states, log_hast = propose_adaptive_independence(
+            jax.random.fold_in(key, 0), rates, ais_state)
+
+    f_cur = rates[z[:, :, 0]]
+    f_prop = prop[z[:, :, 0]]
+    ll_cur = _slog(lk.genofreq_inbreeding(pz[..., 0], pz[..., 1], data.hom,
+                                          f_cur))
+    ll_prop = _slog(lk.genofreq_inbreeding(pz[..., 0], pz[..., 1], data.hom,
+                                           f_prop))
+    diff = jnp.where(mask, ll_prop - ll_cur, 0.0)            # [N, L]
+    zoh = jax.nn.one_hot(z[:, :, 0], spec.n_pops, dtype=diff.dtype)
+    delta = jnp.einsum("nl,nlk->k", diff, zoh)               # [K]
+    u = jax.random.uniform(key, rates.shape, minval=_EPS)
+    accept = jnp.log(u) < delta + log_hast
+    return (jnp.where(accept, prop, rates),
+            jnp.where(accept, prop_states, ais_state))
+
+
+def update_f_ind(key, spec: ModelSpec, data: Dataset, freq, z, rates):
+    """Mode 5: per-individual MH random walk on F (update_F_IND,
+    mcmc.c:888-910); individuals independent -> one parallel sweep."""
+    pz, mask = _f_site_terms(spec, data, freq, z)
+    kp, ku = jax.random.split(key)
+    prop = propose_back_reflection(kp, rates, spec.mh_step_s)
+
+    def ll(f):
+        site = _slog(lk.genofreq_inbreeding(pz[..., 0], pz[..., 1],
+                                            data.hom, f[:, None]))
+        return jnp.where(mask, site, 0.0).sum(axis=1)
+
+    log_ratio = ll(prop) - ll(rates)
+    u = jax.random.uniform(ku, rates.shape, minval=_EPS)
+    return jnp.where(jnp.log(u) < log_ratio, prop, rates)
+
+
+# ---------------------------------------------------------------------------
+# Diagnostic helpers shared with the driver
+# ---------------------------------------------------------------------------
+
+def empty_cluster_flag(q) -> jnp.ndarray:
+    """True when any cluster's total occupancy sum_i q_ik < 0.01
+    (check_empty_cluster, mcmc.c:1944-1974)."""
+    if q.size == 0:
+        return jnp.asarray(False)
+    return jnp.any(q.sum(axis=0) < 0.01)
