@@ -1,0 +1,131 @@
+"""North-star benchmark: effective samples / second for selfing rates S.
+
+Panel: 1000 individuals x 10k loci, K=3, mode 2 (admixture + pop-level
+selfing) — the BASELINE.json target config.  Runs the fused MCMC step on the
+available accelerator with several vmapped chains, measures
+
+  * chain-steps/second (throughput of the full Gibbs sweep), and
+  * ESS/step of the S parameters from an on-device trace,
+
+and reports ESS/sec = throughput x ESS/step summed over chains and S params.
+
+``vs_baseline`` is the speedup in chain-iterations/sec over the measured
+single-core C reference on the same panel (see BASELINE.md "Measured
+baseline"); both samplers are the same Gibbs/MH family so per-iteration ESS
+is comparable by construction.
+
+Prints exactly one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Measured on this machine (2-vCPU host, gcc -O2, single thread):
+# reference InStruct mode 2 on the 1000x10k K=3 panel — see BASELINE.md and
+# scripts/measure_c_baseline.py.
+C_BASELINE_ITERS_PER_SEC = None  # filled from BASELINE.md at runtime
+
+
+def read_c_baseline() -> float:
+    import re
+    from pathlib import Path
+    text = (Path(__file__).parent / "BASELINE.md").read_text()
+    m = re.search(r"measured_c_iters_per_sec\s*=\s*([\d.eE+-]+)", text)
+    if not m:
+        return float("nan")
+    return float(m.group(1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small panel / short run for smoke testing")
+    ap.add_argument("--chains", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    from instruct_tpu.config import ModelSpec
+    from instruct_tpu.data.synthetic import synthetic_panel
+    from instruct_tpu.diagnostics import effective_sample_size
+    from instruct_tpu.mcmc.state import init_state
+    from instruct_tpu.mcmc.step import build_step
+
+    if args.quick:
+        n, l, k = 200, 1000, 3
+        t_measure, t_trace = 30, 300
+    else:
+        n, l, k = 1000, 10_000, 3
+        t_measure, t_trace = 60, 1200
+
+    panel = synthetic_panel(n_indv=n, n_loci=l, n_pops=k, n_alleles=2,
+                            selfing_rates=np.array([0.1, 0.4, 0.8]),
+                            admixture_alpha=0.1, seed=17)
+    spec = ModelSpec(mode=2, n_pops=k)
+    step = build_step(spec, panel.data)
+    c = args.chains
+
+    def chain_block(state, key_steps):
+        def body(st, i):
+            st = step(st, jax.random.fold_in(key_steps, i))
+            return st, st.rates
+        return jax.lax.scan(body, state,
+                            jax.numpy.arange(t_measure, dtype=jax.numpy.int32))
+
+    vblock = jax.jit(jax.vmap(chain_block))
+    keys = jax.random.split(jax.random.key(0), c)
+    states = jax.vmap(lambda kk: init_state(kk, spec, panel.data))(keys)
+
+    # warmup/compile
+    states, _ = jax.block_until_ready(vblock(states, keys))
+
+    t0 = time.time()
+    states, trace1 = jax.block_until_ready(vblock(states, jax.vmap(
+        lambda kk: jax.random.fold_in(kk, 1))(keys)))
+    dt = time.time() - t0
+    chain_steps_per_sec = t_measure * c / dt
+
+    # longer trace for ESS (reuses the compiled block)
+    traces = [np.asarray(trace1)]           # [T, C, K] blocks
+    n_blocks = max(1, t_trace // t_measure)
+    t1 = time.time()
+    for b in range(n_blocks):
+        states, tr = vblock(states, jax.vmap(
+            lambda kk: jax.random.fold_in(kk, 100 + b))(keys))
+        traces.append(np.asarray(tr))
+    jax.block_until_ready(states)
+    wall_trace = time.time() - t1
+    trace = np.concatenate(traces, axis=0)   # [T_total, C, K]
+
+    ess_total = 0.0
+    for ci in range(c):
+        for kk in range(k):
+            ess_total += effective_sample_size(trace[:, ci, kk])
+    ess_per_chain_step = ess_total / (trace.shape[0] * c)
+    ess_per_sec = ess_per_chain_step * chain_steps_per_sec
+
+    c_iters = read_c_baseline()
+    vs = (chain_steps_per_sec / c_iters) if np.isfinite(c_iters) else -1.0
+
+    print(json.dumps({
+        "metric": "effective_samples_per_sec_selfing_rates_1000x10k",
+        "value": round(float(ess_per_sec), 3),
+        "unit": "ESS/s",
+        "vs_baseline": round(float(vs), 2),
+        "detail": {
+            "chain_steps_per_sec": round(chain_steps_per_sec, 3),
+            "ess_per_chain_step": round(float(ess_per_chain_step), 5),
+            "chains": c,
+            "panel": [n, l, k],
+            "c_baseline_iters_per_sec": (None if not np.isfinite(c_iters)
+                                         else c_iters),
+            "trace_wall_s": round(wall_trace, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

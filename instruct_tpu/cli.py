@@ -1,0 +1,144 @@
+"""Command-line interface accepting the reference's conceptual knobs.
+
+Flag names follow param_decomp (InStruct.c:228-446) where a 1:1 mapping
+exists; run `python -m instruct_tpu --help`.  TPU-specific additions:
+--chain-shards/--data-shards (mesh layout) and --platform.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="instruct_tpu",
+        description="TPU-native Bayesian inference of population structure "
+                    "with selfing/inbreeding (InStruct model family)")
+    p.add_argument("-d", dest="datafile", required=True)
+    p.add_argument("-o", dest="outfile", required=True)
+    p.add_argument("-i", dest="initfile", default=None)
+    p.add_argument("-K", dest="popnum", type=int, default=2)
+    p.add_argument("-L", dest="nloci", type=int, default=100)
+    p.add_argument("-N", dest="totalsize", type=int, default=100)
+    p.add_argument("-p", dest="ploid", type=int, default=2)
+    p.add_argument("-u", dest="update", type=int, default=1_000_000)
+    p.add_argument("-b", dest="burnin", type=int, default=500_000)
+    p.add_argument("-t", dest="thinning", type=int, default=10)
+    p.add_argument("-c", dest="chainnum", type=int, default=2)
+    p.add_argument("-s", dest="seeds", type=int, nargs=3, default=None,
+                   help="three seed integers (folded into one JAX key)")
+    p.add_argument("-m", dest="missing", default="-9")
+    p.add_argument("-sl", dest="siglevel", type=float, default=0.9)
+    p.add_argument("-lb", dest="label", type=int, default=1)
+    p.add_argument("-a", dest="popdata", type=int, default=1)
+    p.add_argument("-g", dest="gr_flag", type=int, default=1)
+    p.add_argument("-r", dest="ckrep", type=int, default=20)
+    p.add_argument("-f", dest="prior_flag", type=int, default=0,
+                   help="0=uniform, 1=DPM, 2=normal prior on S/F")
+    p.add_argument("-v", dest="mode", type=int, default=1)
+    p.add_argument("-h2", "--alpha-dpm", dest="alpha_dpm", type=float,
+                   default=10.0, help="DPM concentration (reference -h)")
+    p.add_argument("-e", dest="back_refl", type=int, default=1)
+    p.add_argument("-y", dest="type_freq", type=int, default=1)
+    p.add_argument("-j", dest="nstep_check", type=int, default=20)
+    p.add_argument("-x", dest="n_extra_col", type=int, default=0)
+    p.add_argument("-w", dest="markername", type=int, default=0)
+    p.add_argument("-cf", dest="convgfile", default=None)
+    p.add_argument("-pi", dest="print_iter", type=int, default=1)
+    p.add_argument("-pf", dest="print_freq", type=int, default=0)
+    p.add_argument("-ik", dest="inf_k", type=int, default=0)
+    p.add_argument("-kv", dest="k_range", type=int, nargs=2, default=None)
+    p.add_argument("-df", dest="distr_fmt", type=int, default=1)
+    p.add_argument("-ap", dest="autopoly", type=int, default=1)
+    p.add_argument("-af", dest="data_fmt", type=int, default=0)
+    p.add_argument("--chain-shards", type=int, default=None)
+    p.add_argument("--data-shards", type=int, default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--sampler", default="gibbs",
+                   choices=["gibbs", "hmc", "svi", "smc"],
+                   help="inference engine (gibbs = reference-family MCMC)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from instruct_tpu.config import (ModelSpec, PriorFamily, Priors,
+                                     Schedule)
+    from instruct_tpu.data.loader import read_data, read_init
+    from instruct_tpu.kselect import infer_k
+    from instruct_tpu.mcmc.driver import run_mcmc
+    from instruct_tpu.report import write_report
+
+    panel = read_data(args.datafile, ploid=args.ploid, missing=args.missing,
+                      label=args.label, popdata=args.popdata,
+                      n_extra_col=args.n_extra_col,
+                      markername=args.markername, data_fmt=args.data_fmt)
+    family = {0: PriorFamily.UNIFORM, 1: PriorFamily.DPM,
+              2: PriorFamily.NORMAL}[args.prior_flag]
+    spec = ModelSpec(
+        mode=args.mode, ploid=args.ploid, n_pops=args.popnum,
+        type_freq=args.type_freq, back_refl=args.back_refl,
+        priors=Priors(family=family, alpha_dpm=args.alpha_dpm),
+        autopoly=bool(args.autopoly))
+    sched = Schedule(
+        n_iter=args.update, burnin=args.burnin, thinning=args.thinning,
+        n_chains=args.chainnum, ckrep=args.ckrep,
+        nstep_check_empty_cluster=args.nstep_check)
+
+    if args.seeds is not None:
+        s1, s2, s3 = args.seeds
+        seed = (s1 * 1_000_003 + s2) * 1_000_003 + s3
+    else:
+        seed = 13_04_1972  # the reference's default Wichmann-Hill seeds
+    key = jax.random.key(seed % (2 ** 63))
+
+    mesh = None
+    if args.chain_shards or args.data_shards:
+        from instruct_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.chain_shards, args.data_shards)
+
+    n_rates = spec.n_rates(panel.n_indv)
+    init_rates, chain_names = read_init(args.initfile, args.chainnum,
+                                        n_rates or 1)
+    if n_rates == 0:
+        init_rates = None
+
+    if args.inf_k:
+        n_small, n_large = (args.k_range if args.k_range else (1, 0))
+        ksel = infer_k(panel.data, spec, sched, key, n_small, n_large,
+                       mesh=mesh)
+        res = ksel.results[ksel.best_k]
+        import dataclasses as _dc
+        spec = _dc.replace(spec, n_pops=ksel.best_k)
+        print(f"The optimal K is {ksel.best_k}")
+    else:
+        res = run_mcmc(panel.data, spec, sched, key, init_rates=init_rates,
+                       track_freq=bool(args.print_freq), mesh=mesh)
+
+    write_report(args.outfile, panel, spec, sched, res,
+                 chain_names=chain_names, argv=sys.argv,
+                 distr_fmt=args.distr_fmt, print_freq=bool(args.print_freq),
+                 gr_flag=bool(args.gr_flag))
+
+    if args.convgfile:
+        convg = np.asarray(res.accum.convg_ld).reshape(-1)
+        with open(args.convgfile, "w") as fh:
+            fh.write("Values of log-likelihood:\n")
+            fh.write(" ".join(f"{v:f}" for v in convg) + "\n")
+
+    print("THE JOB IS SUCCESSFULLY FINISHED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -199,6 +199,38 @@ def _recode_tetra(alleles, missing, names, pop_index, pop_names,
     return panel
 
 
+def write_panel(panel: Panel, path: str, data_fmt: int = 0,
+                missing: str = "-9") -> None:
+    """Serialize a Panel to the reference's input format (inverse of
+    :func:`read_data`); used by the golden-parity tests to feed the compiled
+    C binary the exact panel our engine sees."""
+    geno = np.asarray(panel.data.geno)
+    site_valid = np.asarray(panel.data.site_valid)
+    n, l, p = geno.shape
+    names = panel.indv_names or [f"ind{i}" for i in range(n)]
+    pops = (np.asarray(panel.pop_index) if panel.pop_index is not None
+            else np.zeros(n, np.int32))
+    pop_names = panel.pop_names or [f"pop{k}"
+                                    for k in range(int(pops.max()) + 1)]
+    with open(path, "w") as fh:
+        if data_fmt == 0:
+            for i in range(n):
+                for c in range(p):
+                    toks = [names[i], pop_names[pops[i]]]
+                    for j in range(l):
+                        toks.append(missing if not site_valid[i, j]
+                                    else str(100 + geno[i, j, c]))
+                    fh.write(" ".join(toks) + "\n")
+        else:
+            for i in range(n):
+                toks = [names[i], pop_names[pops[i]]]
+                for j in range(l):
+                    for c in range(p):
+                        toks.append(missing if not site_valid[i, j]
+                                    else str(100 + geno[i, j, c]))
+                fh.write(" ".join(toks) + "\n")
+
+
 def read_init(path: Optional[str], n_chains: int, n_rates: int,
               rng: Optional[np.random.Generator] = None):
     """Initial S/F vectors per chain: `>name` blocks followed by one line of

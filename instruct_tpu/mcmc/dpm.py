@@ -1,0 +1,222 @@
+"""Dirichlet-process mixture prior over individual selfing rates /
+inbreeding coefficients (modes 3/5 with `-f 1`).
+
+The reference implements the Chinese-restaurant-process collapsed Gibbs
+sweep with a linked list of clusters (DPMM.c:124-321).  The TPU-native
+redesign is a fixed-capacity padded table:
+
+  values  f32[N]  — the S/F value of each table slot
+  counts  i32[N]  — occupancy; 0 = free slot
+  assign  i32[N]  — table slot of each individual
+
+The per-individual sweep (remove -> score tables + new-table mass ->
+reassign) is inherently sequential (each step conditions on the updated
+seating), so it is an exact `lax.scan` over individuals; every inner
+operation is a masked O(N) vector op — no data-dependent shapes, no host
+round-trips.
+
+Mode 3 (selfing): the geometric likelihood is conjugate-ish — the
+new-table mass is alpha * B(g,2) = alpha / (g (g+1)) and the new value is
+Beta(g, 2) (gen_post_prob/sample_poster, DPMM.c:361-398).
+
+Mode 5 (inbreeding F): the new-table mass needs int_0^1 exp(loglik_i(f)) df;
+the reference uses Romberg quadrature (qromb, DPMM.c:40-117) and its
+new-value sampler is an empty stub returning 0 (gen_nonconjg,
+DPMM.c:401-407 — survey quirk).  We precompute the per-individual
+log-likelihood curve on a fixed M-point grid once per sweep (one [N, L, M]
+fused pass), use the trapezoid mass on the grid for the integral, and draw
+new values by inverse-CDF on the same grid (griddy Gibbs) — a correct
+sampler where the reference had a stub.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instruct_tpu.config import ModelSpec
+from instruct_tpu.data.dataset import Dataset
+from instruct_tpu.model import likelihood as lk
+
+_EPS = 1e-30
+_NEG = -1e30
+GRID_M = 128
+
+
+class DpmTable(NamedTuple):
+    values: jnp.ndarray   # f32[N]
+    counts: jnp.ndarray   # i32[N]
+    assign: jnp.ndarray   # i32[N]
+
+
+def _slog(x):
+    return jnp.log(jnp.maximum(x, _EPS))
+
+
+def init_dpm(key, alpha: float, n: int) -> DpmTable:
+    """Sequential CRP prior draw (init_DP, DPMM.c:124-161): individual j
+    starts a new table w.p. alpha/(alpha+j) with value ~ U(0,1), else joins
+    an existing table w.p. n_t/(alpha+j)."""
+    values = jnp.zeros((n,), jnp.float32)
+    counts = jnp.zeros((n,), jnp.int32)
+    assign = jnp.zeros((n,), jnp.int32)
+
+    def body(carry, j):
+        values, counts, assign = carry
+        kj = jax.random.fold_in(key, j)
+        k1, k2 = jax.random.split(kj)
+        log_masses = jnp.where(counts > 0,
+                               _slog(counts.astype(jnp.float32)), _NEG)
+        log_new = _slog(jnp.asarray(alpha, jnp.float32))
+        all_masses = jnp.concatenate([log_new[None], log_masses])
+        choice = jax.random.categorical(k1, all_masses)
+        is_new = choice == 0
+        free = jnp.argmin(counts)                  # first empty slot
+        slot = jnp.where(is_new, free, choice - 1)
+        new_val = jax.random.uniform(k2)
+        values = values.at[slot].set(
+            jnp.where(is_new, new_val, values[slot]))
+        counts = counts.at[slot].add(1)
+        assign = assign.at[j].set(slot)
+        return (values, counts, assign), None
+
+    (values, counts, assign), _ = jax.lax.scan(
+        body, (values, counts, assign), jnp.arange(n))
+    return DpmTable(values, counts, assign)
+
+
+def _geom_log_density(value, gen):
+    """log dgeom(value; gen) = (gen-1) log value + log(1-value)
+    (dgeom, mcmc.c:1596-1604), with the gen==1 limit handled exactly."""
+    g1 = (gen - 1).astype(jnp.float32)
+    return jnp.where(g1 > 0, g1 * _slog(value), 0.0) + _slog(1.0 - value)
+
+
+def crp_sweep_selfing(key, table: DpmTable, gen, alpha: float) -> DpmTable:
+    """One collapsed-Gibbs CRP sweep for mode 3 (update_DP + gen_post_prob
+    mode-3 branch, DPMM.c:165-199, 367-377)."""
+    n = gen.shape[0]
+
+    def body(carry, j):
+        values, counts, assign = carry
+        kj = jax.random.fold_in(key, j)
+        k1, k2 = jax.random.split(kj)
+        counts = counts.at[assign[j]].add(-1)      # delete(), DPMM.c:280-321
+        g = gen[j]
+        log_tables = jnp.where(
+            counts > 0,
+            _slog(counts.astype(jnp.float32)) + _geom_log_density(values, g),
+            _NEG)
+        gf = g.astype(jnp.float32)
+        log_new = _slog(jnp.asarray(alpha, jnp.float32)) - _slog(gf) \
+            - _slog(gf + 1.0)                       # alpha * B(g, 2)
+        choice = jax.random.categorical(
+            k1, jnp.concatenate([log_new[None], log_tables]))
+        is_new = choice == 0
+        free = jnp.argmin(counts)
+        slot = jnp.where(is_new, free, choice - 1)
+        # new value ~ Beta(g, 2) (sample_poster, DPMM.c:392-398)
+        new_val = jax.random.beta(k2, gf, 2.0)
+        values = values.at[slot].set(jnp.where(is_new, new_val,
+                                               values[slot]))
+        counts = counts.at[slot].add(1)
+        assign = assign.at[j].set(slot)
+        return (values, counts, assign), None
+
+    carry, _ = jax.lax.scan(body, tuple(table), jnp.arange(n))
+    return DpmTable(*carry)
+
+
+def f_loglik_grid(spec: ModelSpec, data: Dataset, freq, z,
+                  m: int = GRID_M):
+    """ll f32[N, M]: per-individual F-log-likelihood evaluated on the grid
+    midpoints f_m = (m + 0.5)/M — the curve func() integrates
+    (DPMM.c:327-358).  One fused pass: per-site sufficient statistics are
+    separable in f for het sites; hom sites need the M-point evaluation."""
+    pz = lk.gather_freq_at_z(freq, data.geno, z)        # [N, L, 2]
+    same_z = jnp.all(z == z[:, :, :1], axis=-1)
+    valid = same_z & data.site_valid
+    hom = data.hom
+    grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+
+    # het same-z sites: log(2 p0 p1) + log(1 - f): separable.
+    het_mask = valid & ~hom
+    n_het = het_mask.sum(axis=1).astype(jnp.float32)            # [N]
+    c_het = jnp.where(het_mask, _slog(2.0 * pz[..., 0] * pz[..., 1]),
+                      0.0).sum(axis=1)                           # [N]
+    # z-mismatch / invalid handled by caller (independent of f).
+    # hom same-z sites: log(p0^2 (1-f) + p0 f) = log p0 + log(p0 + f(1-p0)).
+    hom_mask = valid & hom
+    p0 = pz[..., 0]
+    c_hom = jnp.where(hom_mask, _slog(p0), 0.0).sum(axis=1)      # [N]
+    # [N, L, M] pass, contracted over L immediately:
+    inner = _slog(p0[..., None] + grid * (1.0 - p0[..., None]))  # [N, L, M]
+    hom_term = (inner * hom_mask[..., None]).sum(axis=1)         # [N, M]
+    return (hom_term + (c_hom + c_het)[:, None]
+            + n_het[:, None] * _slog(1.0 - grid)[None, :])
+
+
+def crp_sweep_inbreeding(key, table: DpmTable, ll_grid,
+                         alpha: float) -> DpmTable:
+    """One CRP sweep for mode 5 (gen_post_prob mode-5 branch,
+    DPMM.c:378-389) using the precomputed per-individual grid curve.
+
+    Table values are grid midpoints, so scoring an existing table is a
+    single gather; the new-table mass is the trapezoidal integral of
+    exp(ll) over [0,1] (replacing qromb) and new values are drawn by
+    inverse-CDF on the grid (replacing the gen_nonconjg stub)."""
+    n, m = ll_grid.shape
+    grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+
+    def body(carry, j):
+        values, counts, assign = carry
+        kj = jax.random.fold_in(key, j)
+        k1, k2 = jax.random.split(kj)
+        counts = counts.at[assign[j]].add(-1)
+        ll_j = ll_grid[j]                                   # [M]
+        # integral int exp(ll) df on the midpoint grid, in log space
+        log_int = jax.nn.logsumexp(ll_j) - jnp.log(float(m))
+        log_new = _slog(jnp.asarray(alpha, jnp.float32)) + log_int
+        # existing tables: values are grid midpoints -> index = floor(v*M)
+        vidx = jnp.clip((values * m).astype(jnp.int32), 0, m - 1)
+        log_tables = jnp.where(counts > 0,
+                               _slog(counts.astype(jnp.float32))
+                               + ll_j[vidx], _NEG)
+        choice = jax.random.categorical(
+            k1, jnp.concatenate([log_new[None], log_tables]))
+        is_new = choice == 0
+        free = jnp.argmin(counts)
+        slot = jnp.where(is_new, free, choice - 1)
+        new_idx = jax.random.categorical(k2, ll_j)          # griddy draw
+        values = values.at[slot].set(
+            jnp.where(is_new, grid[new_idx], values[slot]))
+        counts = counts.at[slot].add(1)
+        assign = assign.at[j].set(slot)
+        return (values, counts, assign), None
+
+    carry, _ = jax.lax.scan(body, tuple(table), jnp.arange(n))
+    return DpmTable(*carry)
+
+
+def build_dpm_update(spec: ModelSpec, data: Dataset):
+    """Return `dpm_update(key, state) -> state` plugging the CRP sweep into
+    the mode-3/5 step (mcmc.c:337-342, 423-428): after the sweep, each
+    individual's rate is its table's value."""
+    alpha = spec.priors.alpha_dpm
+
+    def dpm_update(key, state):
+        table = DpmTable(state.dpm_values, state.dpm_counts,
+                         state.dpm_assign)
+        if spec.mode == 3:
+            table = crp_sweep_selfing(key, table, state.gen, alpha)
+        else:
+            ll_grid = f_loglik_grid(spec, data, state.freq, state.z)
+            table = crp_sweep_inbreeding(key, table, ll_grid, alpha)
+        rates = table.values[table.assign]
+        return state._replace(rates=rates, dpm_values=table.values,
+                              dpm_counts=table.counts,
+                              dpm_assign=table.assign)
+
+    return dpm_update

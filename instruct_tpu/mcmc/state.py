@@ -33,6 +33,12 @@ class McmcState(NamedTuple):
     gen: jnp.ndarray          # i32[N] selfing generations (modes 2/3)
     loglik_indv: jnp.ndarray  # f32[N] cal_lkh per-individual log-lik
     loglik_total: jnp.ndarray  # f32[]
+    dpm_values: jnp.ndarray   # f32[N] DPM cluster-table values (modes 3/5
+    #   with the DP prior; size-0 otherwise) — replaces DPMM.c's linked list
+    dpm_counts: jnp.ndarray   # i32[N] table occupancy (0 = free slot)
+    dpm_assign: jnp.ndarray   # i32[N] table slot of each individual
+    prior_mu: jnp.ndarray     # f32[] normal-prior mean (modes 3/5, `-f 2`)
+    prior_sigma2: jnp.ndarray  # f32[] normal-prior variance
 
 
 def _dt_stat(rates: jnp.ndarray) -> jnp.ndarray:
@@ -80,13 +86,27 @@ def init_state(
         alpha = jax.random.uniform(kal) * spec.alpha_prior_max
         q = _dirichlet(kq, counts + alpha)
 
-    if r > 0:
+    use_dpm = (spec.priors.family.value == "dpm" and spec.mode in (3, 5))
+    if use_dpm:
+        # Initial rates come from the CRP prior draw (init_DP,
+        # DPMM.c:124-161; consumed at mcmc.c:318-324, 407-413).
+        from instruct_tpu.mcmc.dpm import init_dpm
+        table = init_dpm(ks, spec.priors.alpha_dpm, n)
+        rates = table.values[table.assign]
+        dpm_values, dpm_counts, dpm_assign = table
+    elif r > 0:
         if init_rates is None:
             rates = jax.random.uniform(ks, (r,))
         else:
             rates = jnp.asarray(init_rates, jnp.float32).reshape(r)
+        dpm_values = jnp.zeros((0,), jnp.float32)
+        dpm_counts = jnp.zeros((0,), jnp.int32)
+        dpm_assign = jnp.zeros((0,), jnp.int32)
     else:
         rates = jnp.zeros((0,), jnp.float32)
+        dpm_values = jnp.zeros((0,), jnp.float32)
+        dpm_counts = jnp.zeros((0,), jnp.int32)
+        dpm_assign = jnp.zeros((0,), jnp.int32)
     ais_state = _dt_stat(rates).astype(jnp.int32)
 
     if spec.has_selfing:
@@ -110,6 +130,9 @@ def init_state(
         ais_state=ais_state, gen=gen,
         loglik_indv=jnp.zeros((n,), jnp.float32),
         loglik_total=jnp.zeros((), jnp.float32),
+        dpm_values=dpm_values, dpm_counts=dpm_counts, dpm_assign=dpm_assign,
+        prior_mu=jnp.asarray(spec.priors.normal_mu0, jnp.float32),
+        prior_sigma2=jnp.asarray(spec.priors.normal_sigmasqr0, jnp.float32),
     )
 
 

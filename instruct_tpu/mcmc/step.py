@@ -50,6 +50,8 @@ def build_step(spec: ModelSpec, data: Dataset) -> Callable:
         raise ValueError(f"unknown mode {spec.mode}")
 
     dpm = (spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5))
+    normal = (spec.priors.family == PriorFamily.NORMAL
+              and spec.mode in (3, 5))
     if dpm:
         from instruct_tpu.mcmc.dpm import build_dpm_update
         dpm_update = build_dpm_update(spec, data)
@@ -72,8 +74,15 @@ def build_step(spec: ModelSpec, data: Dataset) -> Callable:
             if dpm:
                 state = dpm_update(ks, state)
             else:
-                rates = up.update_s_ind(ks, spec, state.gen, state.rates)
+                pm = state.prior_mu if normal else None
+                ps2 = state.prior_sigma2 if normal else None
+                rates = up.update_s_ind(ks, spec, state.gen, state.rates,
+                                        pm, ps2)
                 state = state._replace(rates=rates)
+                if normal:
+                    mu, s2 = up.update_normal_hyper(
+                        jax.random.fold_in(ks, 1), rates, spec.priors)
+                    state = state._replace(prior_mu=mu, prior_sigma2=s2)
         elif spec.mode == 4:
             rates, ais = up.update_f_pop(ks, spec, data, freq, state.z,
                                          state.rates, state.ais_state)
@@ -82,9 +91,15 @@ def build_step(spec: ModelSpec, data: Dataset) -> Callable:
             if dpm:
                 state = dpm_update(ks, state)
             else:
+                pm = state.prior_mu if normal else None
+                ps2 = state.prior_sigma2 if normal else None
                 rates = up.update_f_ind(ks, spec, data, freq, state.z,
-                                        state.rates)
+                                        state.rates, pm, ps2)
                 state = state._replace(rates=rates)
+                if normal:
+                    mu, s2 = up.update_normal_hyper(
+                        jax.random.fold_in(ks, 1), rates, spec.priors)
+                    state = state._replace(prior_mu=mu, prior_sigma2=s2)
 
         if spec.has_selfing:
             gen = up.update_gen(kg, spec, data, freq, state.z, state.q,

@@ -262,20 +262,49 @@ def update_s_pop(key, spec: ModelSpec, q, gen, rates, ais_state):
     return rates, ais_state
 
 
-def update_s_ind(key, spec: ModelSpec, gen, rates):
-    """Mode 3 uniform prior: per-individual MH random walk on S with the
-    geometric likelihood of G (update_S_IND, mcmc.c:864-886).  Individuals
-    are conditionally independent, so all N proposals run in parallel."""
+def update_s_ind(key, spec: ModelSpec, gen, rates, prior_mu=None,
+                 prior_sigma2=None):
+    """Mode 3: per-individual MH random walk on S with the geometric
+    likelihood of G (update_S_IND, mcmc.c:864-886).  Individuals are
+    conditionally independent, so all N proposals run in parallel.
+
+    With the normal prior (`-f 2`), the acceptance ratio additionally
+    carries N(mu, sigma^2) prior terms — the hierarchy the reference's
+    README advertises whose sampler survives only as sample_mu2
+    (mcmc.c:1607-1626)."""
     kp, ku = jax.random.split(key)
     prop = propose_back_reflection(kp, rates, spec.mh_step_s)
     g1 = (gen - 1).astype(rates.dtype)
 
-    def ll(s):
-        return jnp.where(g1 > 0, g1 * _slog(s), 0.0) + _slog(1.0 - s)
+    def lp(s):
+        out = jnp.where(g1 > 0, g1 * _slog(s), 0.0) + _slog(1.0 - s)
+        if prior_mu is not None:
+            out = out - 0.5 * (s - prior_mu) ** 2 / prior_sigma2
+        return out
 
-    log_ratio = ll(prop) - ll(rates)
+    log_ratio = lp(prop) - lp(rates)
     u = jax.random.uniform(ku, rates.shape, minval=_EPS)
     return jnp.where(jnp.log(u) < log_ratio, prop, rates)
+
+
+def update_normal_hyper(key, rates, priors):
+    """Gibbs update of the normal prior's (mu, sigma^2) given the current
+    S/F vector — exact transcription of the conjugate draws in sample_mu2
+    (mcmc.c:1607-1626): sigma^2 ~ scaled-inv-chi^2(nu_n, sigmasqr_n),
+    mu ~ N(mu_n, sigma^2/kappa_n)."""
+    k1, k2 = jax.random.split(key)
+    n = rates.shape[0]
+    ave = rates.mean()
+    kappa_n = priors.normal_kappa0 + n
+    nu_n = priors.normal_nu0 + n
+    ss = ((ave - rates) ** 2).sum()
+    sigmasqr_n = (priors.normal_nu0 * priors.normal_sigmasqr0
+                  + priors.normal_kappa0 * (ave - priors.normal_mu0) ** 2
+                  + ss)
+    sigma2 = sigmasqr_n / (2.0 * jax.random.gamma(k1, nu_n * 0.5))
+    mu_n = (priors.normal_kappa0 * priors.normal_mu0 + n * ave) / kappa_n
+    mu = mu_n + jnp.sqrt(sigma2 / kappa_n) * jax.random.normal(k2)
+    return mu, sigma2
 
 
 # ---------------------------------------------------------------------------
@@ -369,19 +398,24 @@ def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
             jnp.where(accept, prop_states, ais_state))
 
 
-def update_f_ind(key, spec: ModelSpec, data: Dataset, freq, z, rates):
+def update_f_ind(key, spec: ModelSpec, data: Dataset, freq, z, rates,
+                 prior_mu=None, prior_sigma2=None):
     """Mode 5: per-individual MH random walk on F (update_F_IND,
-    mcmc.c:888-910); individuals independent -> one parallel sweep."""
+    mcmc.c:888-910); individuals independent -> one parallel sweep.
+    Optional normal-prior terms as in :func:`update_s_ind`."""
     pz, mask = _f_site_terms(spec, data, freq, z)
     kp, ku = jax.random.split(key)
     prop = propose_back_reflection(kp, rates, spec.mh_step_s)
 
-    def ll(f):
+    def lp(f):
         site = _slog(lk.genofreq_inbreeding(pz[..., 0], pz[..., 1],
                                             data.hom, f[:, None]))
-        return jnp.where(mask, site, 0.0).sum(axis=1)
+        out = jnp.where(mask, site, 0.0).sum(axis=1)
+        if prior_mu is not None:
+            out = out - 0.5 * (f - prior_mu) ** 2 / prior_sigma2
+        return out
 
-    log_ratio = ll(prop) - ll(rates)
+    log_ratio = lp(prop) - lp(rates)
     u = jax.random.uniform(ku, rates.shape, minval=_EPS)
     return jnp.where(jnp.log(u) < log_ratio, prop, rates)
 

@@ -1,0 +1,108 @@
+"""DPM (CRP) prior tests: table invariants, cluster-count distribution vs
+the CRP's E[#tables] = sum alpha/(alpha+i), and end-to-end runs for modes
+3 and 5 with the DP prior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instruct_tpu.config import ModelSpec, Priors, PriorFamily, Schedule
+from instruct_tpu.data.synthetic import synthetic_panel
+from instruct_tpu.mcmc import dpm
+from instruct_tpu.mcmc.driver import run_mcmc
+
+
+def table_ok(t: dpm.DpmTable, n):
+    counts = np.asarray(t.counts)
+    assign = np.asarray(t.assign)
+    assert counts.sum() == n
+    # every individual's slot is occupied and its count is consistent
+    occ = np.bincount(assign, minlength=n)
+    np.testing.assert_array_equal(occ, counts)
+    # occupied tables have values in [0, 1]
+    vals = np.asarray(t.values)[counts > 0]
+    assert ((vals >= 0) & (vals <= 1)).all()
+
+
+def test_init_dpm_invariants_and_cluster_count():
+    n, alpha = 200, 5.0
+    tables = []
+    for seed in range(20):
+        t = dpm.init_dpm(jax.random.key(seed), alpha, n)
+        table_ok(t, n)
+        tables.append(int((np.asarray(t.counts) > 0).sum()))
+    expect = sum(alpha / (alpha + i) for i in range(n))
+    assert abs(np.mean(tables) - expect) < 0.25 * expect
+
+
+def test_crp_sweep_selfing_invariants():
+    n = 50
+    t = dpm.init_dpm(jax.random.key(0), 2.0, n)
+    gen = jnp.asarray(np.random.default_rng(0).integers(1, 20, n))
+    for i in range(5):
+        t = dpm.crp_sweep_selfing(jax.random.key(i + 1), t, gen, 2.0)
+        table_ok(t, n)
+
+
+def test_crp_selfing_clusters_by_generation():
+    # Individuals with high G should land on high-S tables: after sweeps
+    # conditioning on G, the table value for high-G individuals must exceed
+    # that of low-G ones (Beta(g,2) has mean g/(g+2)).
+    n = 60
+    gen = jnp.asarray([2] * 30 + [40] * 30)
+    t = dpm.init_dpm(jax.random.key(5), 1.0, n)
+    for i in range(30):
+        t = dpm.crp_sweep_selfing(jax.random.key(100 + i), t, gen, 1.0)
+    rates = np.asarray(t.values)[np.asarray(t.assign)]
+    assert rates[30:].mean() - rates[:30].mean() > 0.3
+
+
+def test_f_loglik_grid_matches_pointwise():
+    panel = synthetic_panel(n_indv=6, n_loci=9, n_pops=2, seed=2)
+    data = panel.data
+    rng = np.random.default_rng(1)
+    n, l, p = data.geno.shape
+    freq = jnp.asarray(rng.dirichlet(np.ones(2), size=(2, l)), jnp.float32)
+    z = jnp.asarray(rng.integers(0, 2, (n, l, p)))
+    m = 16
+    grid = (np.arange(m) + 0.5) / m
+    got = np.asarray(dpm.f_loglik_grid(ModelSpec(mode=5, n_pops=2), data,
+                                       freq, z, m=m))
+    # brute force with the site formulas
+    from instruct_tpu.model import likelihood as lk
+    for mi in [0, 7, 15]:
+        f = jnp.full((n,), grid[mi], jnp.float32)
+        pz = lk.gather_freq_at_z(freq, data.geno, z)
+        same = np.asarray(jnp.all(z == z[:, :, :1], -1))
+        mask = same & np.asarray(data.site_valid)
+        site = np.log(np.maximum(np.asarray(
+            lk.genofreq_inbreeding(pz[..., 0], pz[..., 1], data.hom,
+                                   f[:, None])), 1e-30))
+        want = np.where(mask, site, 0.0).sum(1)
+        np.testing.assert_allclose(got[:, mi], want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", [3, 5])
+def test_dpm_mode_runs_end_to_end(mode):
+    panel = synthetic_panel(n_indv=14, n_loci=10, n_pops=2, seed=mode)
+    spec = ModelSpec(mode=mode, n_pops=2,
+                     priors=Priors(family=PriorFamily.DPM, alpha_dpm=3.0))
+    sched = Schedule(n_iter=40, burnin=20, thinning=2, n_chains=2, ckrep=5,
+                     nstep_check_empty_cluster=5)
+    res = run_mcmc(panel.data, spec, sched, jax.random.key(0))
+    assert np.isfinite(np.asarray(res.accum.mean.total_ll)).all()
+    rates = np.asarray(res.accum.mean.rates)
+    assert rates.shape == (2, 14)
+    assert ((rates >= 0) & (rates <= 1)).all()
+
+
+@pytest.mark.parametrize("mode", [3, 5])
+def test_normal_prior_runs_end_to_end(mode):
+    panel = synthetic_panel(n_indv=10, n_loci=8, n_pops=2, seed=mode + 7)
+    spec = ModelSpec(mode=mode, n_pops=2,
+                     priors=Priors(family=PriorFamily.NORMAL))
+    sched = Schedule(n_iter=40, burnin=20, thinning=2, n_chains=2, ckrep=5,
+                     nstep_check_empty_cluster=5)
+    res = run_mcmc(panel.data, spec, sched, jax.random.key(1))
+    assert np.isfinite(np.asarray(res.accum.mean.total_ll)).all()

@@ -1,0 +1,98 @@
+"""Golden-posterior parity against the compiled reference binary
+(BASELINE.json north-star: posterior means of S and Q match within
+Monte-Carlo error on the reference's example configs).
+
+The reference's shared-stream Wichmann-Hill RNG makes bitwise parity
+impossible by design (survey §2.2); parity is statistical: both samplers
+target the same posterior, so long-run means must agree within MC error.
+"""
+
+import shutil
+import subprocess
+
+import jax
+import numpy as np
+import pytest
+
+from instruct_tpu.config import ModelSpec, Schedule
+from instruct_tpu.data.loader import read_data, write_panel
+from instruct_tpu.data.synthetic import synthetic_panel
+from instruct_tpu.mcmc.driver import run_mcmc
+
+from _refbinary import (build_reference, parse_q_matrix,
+                        parse_selfing_rates, run_reference)
+
+gcc_missing = shutil.which("gcc") is None
+
+
+@pytest.fixture(scope="module")
+def ref_exe():
+    if gcc_missing:
+        pytest.skip("gcc not available")
+    return build_reference()
+
+
+@pytest.fixture(scope="module")
+def parity_setup(tmp_path_factory, ref_exe):
+    """One moderately-sized mode-2 run of the C binary + our engine."""
+    tmp = tmp_path_factory.mktemp("parity")
+    panel = synthetic_panel(n_indv=60, n_loci=60, n_pops=2, n_alleles=2,
+                            selfing_rates=np.array([0.1, 0.75]),
+                            admixture_alpha=0.05, missing_rate=0.02,
+                            seed=123)
+    datafile = tmp / "panel.txt"
+    write_panel(panel, str(datafile))
+    outfile = tmp / "ref_out.txt"
+    n_iter, burnin, thin = 12000, 6000, 5
+    run_reference(ref_exe, datafile, outfile, panel.n_indv, panel.n_loci,
+                  2, 2, n_iter, burnin, thin, chains=1)
+
+    # Reload through our parser so both engines see identical data.
+    panel2 = read_data(str(datafile), ploid=2, log=open("/dev/null", "w"))
+    spec = ModelSpec(mode=2, n_pops=2)
+    sched = Schedule(n_iter=n_iter, burnin=burnin, thinning=thin,
+                     n_chains=2, ckrep=100, nstep_check_empty_cluster=50)
+    res = run_mcmc(panel2.data, spec, sched, jax.random.key(7))
+    return panel2, outfile, res
+
+
+def test_selfing_rate_parity(parity_setup):
+    _, outfile, res = parity_setup
+    ref_s = np.sort(parse_selfing_rates(outfile)[0])
+    ours = np.sort(np.asarray(res.accum.mean.rates), axis=1)
+    # Average our chains; compare sorted cluster rates.
+    ours_mean = ours.mean(axis=0)
+    assert ref_s.shape == ours_mean.shape
+    np.testing.assert_allclose(ours_mean, ref_s, atol=0.06)
+
+
+def test_q_matrix_parity(parity_setup):
+    panel, outfile, res = parity_setup
+    n = panel.n_indv
+    ref_q = parse_q_matrix(outfile, n, 2)[0]          # [N, 2]
+    ours = np.asarray(res.accum.mean.q).mean(axis=0)  # [N, 2]
+    # resolve label switching: best of the two column permutations
+    err_id = np.abs(ours - ref_q).mean()
+    err_sw = np.abs(ours[:, ::-1] - ref_q).mean()
+    assert min(err_id, err_sw) < 0.05, (err_id, err_sw)
+
+
+def test_mode1_loglik_parity(ref_exe, tmp_path):
+    """Admixture-only mode: posterior mean log-lik of both engines agree."""
+    panel = synthetic_panel(n_indv=40, n_loci=50, n_pops=2, n_alleles=2,
+                            admixture_alpha=0.05, seed=9)
+    datafile = tmp_path / "p.txt"
+    write_panel(panel, str(datafile))
+    outfile = tmp_path / "o.txt"
+    run_reference(ref_exe, datafile, outfile, 40, 50, 2, 1, 8000, 4000, 5)
+    from _refbinary import parse_loglik_mean
+    ref_ll = parse_loglik_mean(outfile)[0]
+
+    panel2 = read_data(str(datafile), ploid=2, log=open("/dev/null", "w"))
+    res = run_mcmc(panel2.data, ModelSpec(mode=1, n_pops=2),
+                   Schedule(n_iter=8000, burnin=4000, thinning=5,
+                            n_chains=1, ckrep=100,
+                            nstep_check_empty_cluster=50),
+                   jax.random.key(3))
+    ours_ll = float(np.asarray(res.accum.mean.total_ll)[0])
+    assert abs(ours_ll - ref_ll) / abs(ref_ll) < 0.02, (ours_ll, ref_ll)
