@@ -48,6 +48,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # The axon remote-compile path costs minutes per program; the persistent
+    # cache drops warm-start compiles to seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     from instruct_tpu.config import ModelSpec
     from instruct_tpu.data.synthetic import synthetic_panel
     from instruct_tpu.diagnostics import effective_sample_size
@@ -56,10 +61,10 @@ def main():
 
     if args.quick:
         n, l, k = 200, 1000, 3
-        t_measure, t_trace = 30, 300
+        t_measure, t_trace = 30, 150
     else:
         n, l, k = 1000, 10_000, 3
-        t_measure, t_trace = 60, 1200
+        t_measure, t_trace = 50, 600
 
     panel = synthetic_panel(n_indv=n, n_loci=l, n_pops=k, n_alleles=2,
                             selfing_rates=np.array([0.1, 0.4, 0.8]),

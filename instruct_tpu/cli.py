@@ -71,6 +71,12 @@ def main(argv=None) -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
     from instruct_tpu.config import (ModelSpec, PriorFamily, Priors,
                                      Schedule)
