@@ -2,21 +2,23 @@
 
 The reference stores genotypes as a ragged `int ***seqdata` plus missing-data
 masks built in data_interface.c (get_missing, data_interface.c:812-846).  The
-TPU-native layout is a dense, padded, statically-shaped tensor pack:
+TPU-native layout is a dense, statically-shaped tensor pack whose big arrays
+always keep a long axis trailing — TPU tiles the last two dims to (8, 128),
+so a trailing ploidy axis of size 2-4 would pay a 32-64x physical-memory
+padding tax.  Allele copies are therefore stored *flat*: S = L * ploid with
+site index s = l * ploid + copy.
 
-  * ``geno``        int32[N, L, ploid] — allele codes in [0, A); 0 where
-                    missing (the mask makes the value irrelevant).
-  * ``site_valid``  bool[N, L]         — observed AND polymorphic locus.
+  * ``geno``        int32[N, S] — allele codes in [0, A); 0 where missing.
+  * ``site_valid``  bool[N, L]  — observed AND polymorphic locus.
                     Mirrors `missindx[i][j]!=1 && allelenum[j]>1`
                     (mcmc.c:817, 1137).
-  * ``allele_valid`` bool[L, A]        — per-locus padding mask over the
-                    max-allele axis (allelenum, data_interface.c:507).
-  * ``hom``         bool[N, L]         — all `ploid` copies identical;
-                    precomputes `chcksame(seqdata[i][j])` (mcmc.c:1658-1667).
-
-All arrays are leading-axis shardable on individuals (N) or loci (L); the
-model is conditionally independent across loci given (Z, Q, P), so loci-axis
-sharding needs only a `psum` of log-lik partial sums and allele counts.
+  * ``allele_valid`` bool[L, A] — per-locus padding mask over alleles.
+  * ``hom``         bool[N, L]  — all copies identical; precomputes
+                    `chcksame(seqdata[i][j])` (mcmc.c:1658-1667).
+  * ``distinct``    int32[N, L * 4] — tetraploid-only: the observed sorted
+                    set of distinct alleles (transform_data2,
+                    data_interface.c:571-669); ordered genotype is latent.
+  * ``n_distinct``  int32[N, L] — `alleleid` counts.
 """
 
 from __future__ import annotations
@@ -31,10 +33,12 @@ import numpy as np
 class Dataset(NamedTuple):
     """The jit-traversable pytree of panel tensors."""
 
-    geno: jnp.ndarray          # int32[N, L, ploid]
+    geno: jnp.ndarray          # int32[N, S], S = L * ploid
     site_valid: jnp.ndarray    # bool[N, L]
     allele_valid: jnp.ndarray  # bool[L, A]
     hom: jnp.ndarray           # bool[N, L]
+    distinct: Optional[jnp.ndarray] = None      # int32[N, L*4] (tetra)
+    n_distinct: Optional[jnp.ndarray] = None    # int32[N, L]
 
     @property
     def n_indv(self) -> int:
@@ -42,19 +46,27 @@ class Dataset(NamedTuple):
 
     @property
     def n_loci(self) -> int:
-        return self.geno.shape[1]
+        return self.site_valid.shape[1]
 
     @property
     def ploid(self) -> int:
-        return self.geno.shape[2]
+        return self.geno.shape[1] // self.site_valid.shape[1]
 
     @property
     def max_alleles(self) -> int:
         return self.allele_valid.shape[1]
 
+    @property
+    def geno3(self) -> np.ndarray:
+        """Host-side [N, L, ploid] view for tests/reporting."""
+        n = self.geno.shape[0]
+        return np.asarray(self.geno).reshape(n, self.n_loci, self.ploid)
+
 
 def make_dataset(geno: np.ndarray, missing: np.ndarray,
-                 n_alleles: Optional[np.ndarray] = None) -> Dataset:
+                 n_alleles: Optional[np.ndarray] = None,
+                 distinct: Optional[np.ndarray] = None,
+                 n_distinct: Optional[np.ndarray] = None) -> Dataset:
     """Build a :class:`Dataset` from host arrays.
 
     ``geno`` int[N, L, ploid] with allele codes (missing entries arbitrary),
@@ -77,10 +89,15 @@ def make_dataset(geno: np.ndarray, missing: np.ndarray,
     site_valid = (~missing) & (n_alleles > 1)[None, :]
     hom = np.all(geno == geno[:, :, :1], axis=2)
     return Dataset(
-        geno=jnp.asarray(geno),
+        geno=jnp.asarray(geno.reshape(n, l * p)),
         site_valid=jnp.asarray(site_valid),
         allele_valid=jnp.asarray(allele_valid),
         hom=jnp.asarray(hom),
+        distinct=(None if distinct is None
+                  else jnp.asarray(np.asarray(distinct, np.int32)
+                                   .reshape(n, -1))),
+        n_distinct=(None if n_distinct is None
+                    else jnp.asarray(n_distinct, dtype=jnp.int32)),
     )
 
 
@@ -96,7 +113,7 @@ class Panel:
 
     data: Dataset
     indv_names: Optional[Sequence[str]] = None
-    pop_index: Optional[np.ndarray] = None      # int[N] pre-defined pop of each indv
+    pop_index: Optional[np.ndarray] = None      # int[N] pre-defined pop
     pop_names: Optional[Sequence[str]] = None
     marker_names: Optional[Sequence[str]] = None
     allele_names: Optional[Sequence[Sequence[str]]] = None  # per locus
@@ -113,7 +130,8 @@ class Panel:
     @property
     def missing_per_indv(self) -> np.ndarray:
         """`missvec` (data_interface.c:819-834): # missing loci per indiv."""
-        return np.asarray(~np.asarray(self.data.site_valid), dtype=np.int64).sum(1)
+        return np.asarray(~np.asarray(self.data.site_valid),
+                          dtype=np.int64).sum(1)
 
     @property
     def n_predefined_pops(self) -> int:

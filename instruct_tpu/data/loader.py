@@ -190,13 +190,11 @@ def _recode_tetra(alleles, missing, names, pop_index, pop_names,
                 distinct[i, j, m] = v
     miss = n_distinct == 0
     geno = np.where(distinct == MISSING_CODE, 0, distinct)
-    data = make_dataset(geno, miss, n_alleles)
-    panel = Panel(data=data, indv_names=names or None, pop_index=pop_index,
-                  pop_names=pop_names or None, marker_names=marker_names,
-                  allele_names=allele_tables, n_alleles=n_alleles)
-    panel.tetra_distinct = distinct          # sorted distinct allele codes
-    panel.tetra_n_distinct = n_distinct      # `alleleid` counts
-    return panel
+    data = make_dataset(geno, miss, n_alleles, distinct=geno,
+                        n_distinct=n_distinct)
+    return Panel(data=data, indv_names=names or None, pop_index=pop_index,
+                 pop_names=pop_names or None, marker_names=marker_names,
+                 allele_names=allele_tables, n_alleles=n_alleles)
 
 
 def write_panel(panel: Panel, path: str, data_fmt: int = 0,
@@ -204,7 +202,7 @@ def write_panel(panel: Panel, path: str, data_fmt: int = 0,
     """Serialize a Panel to the reference's input format (inverse of
     :func:`read_data`); used by the golden-parity tests to feed the compiled
     C binary the exact panel our engine sees."""
-    geno = np.asarray(panel.data.geno)
+    geno = panel.data.geno3
     site_valid = np.asarray(panel.data.site_valid)
     n, l, p = geno.shape
     names = panel.indv_names or [f"ind{i}" for i in range(n)]

@@ -135,21 +135,21 @@ def f_loglik_grid(spec: ModelSpec, data: Dataset, freq, z,
     midpoints f_m = (m + 0.5)/M — the curve func() integrates
     (DPMM.c:327-358).  One fused pass: per-site sufficient statistics are
     separable in f for het sites; hom sites need the M-point evaluation."""
-    pz = lk.gather_freq_at_z(freq, data.geno, z)        # [N, L, 2]
-    same_z = jnp.all(z == z[:, :, :1], axis=-1)
-    valid = same_z & data.site_valid
+    pz = lk.gather_freq_at_z(freq, data, z)             # [N, S]
+    p0, p1 = lk.split_copies(pz, data.ploid)
+    z0, z1 = lk.split_copies(z, data.ploid)
+    valid = (z0 == z1) & data.site_valid
     hom = data.hom
     grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
 
     # het same-z sites: log(2 p0 p1) + log(1 - f): separable.
     het_mask = valid & ~hom
     n_het = het_mask.sum(axis=1).astype(jnp.float32)            # [N]
-    c_het = jnp.where(het_mask, _slog(2.0 * pz[..., 0] * pz[..., 1]),
+    c_het = jnp.where(het_mask, _slog(2.0 * p0 * p1),
                       0.0).sum(axis=1)                           # [N]
     # z-mismatch / invalid handled by caller (independent of f).
     # hom same-z sites: log(p0^2 (1-f) + p0 f) = log p0 + log(p0 + f(1-p0)).
     hom_mask = valid & hom
-    p0 = pz[..., 0]
     c_hom = jnp.where(hom_mask, _slog(p0), 0.0).sum(axis=1)      # [N]
     # [N, L, M] pass, contracted over L immediately:
     inner = _slog(p0[..., None] + grid * (1.0 - p0[..., None]))  # [N, L, M]

@@ -21,8 +21,8 @@ class McmcState(NamedTuple):
     """One chain's sampler state (cf. UPMCMC, mcmc.h)."""
 
     freq: jnp.ndarray         # f32[K, L, A] — P (allele freqs per pop/locus)
-    z: jnp.ndarray            # i32[N, L, P] per-copy pop assignments
-    #   (modes 1-5; mode 0 uses zz instead and z is size-0)
+    z: jnp.ndarray            # i32[N, S] per-copy pop assignments, flat
+    #   S = L * ploid (modes 1-5; mode 0 uses zz instead and z is size-0)
     zz: jnp.ndarray           # i32[N] per-individual assignment (mode 0 only)
     q: jnp.ndarray            # f32[N, K] admixture proportions (modes 1-5)
     alpha: jnp.ndarray        # f32[] Dirichlet concentration of Q's prior
@@ -39,6 +39,10 @@ class McmcState(NamedTuple):
     dpm_assign: jnp.ndarray   # i32[N] table slot of each individual
     prior_mu: jnp.ndarray     # f32[] normal-prior mean (modes 3/5, `-f 2`)
     prior_sigma2: jnp.ndarray  # f32[] normal-prior variance
+    freq2: jnp.ndarray = None  # f32[K, L, A] second allele-frequency system
+    #   (allotetraploid only — UPMCMC.freq2, mcmc.c:540-543)
+    geno: jnp.ndarray = None   # i32[N, L*4] latent ordered genotype, flat
+    #   (tetraploid only — UPMCMC.geno, mcmc.c:544)
 
 
 def _dt_stat(rates: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +68,12 @@ def init_state(
     update_P overwrites it before any use, matching the reference where the
     step loop leads with update_P.
     """
-    n, l, p = data.geno.shape
+    if spec.ploid == 4:
+        from instruct_tpu.tetra.engine import init_tetra_state
+        return init_tetra_state(key, spec, data, init_rates)
+
+    n = data.geno.shape[0]
+    l, p = data.n_loci, data.ploid
     k = spec.n_pops
     a = data.allele_valid.shape[1]
     r = spec.n_rates(n)
@@ -76,12 +85,12 @@ def init_state(
 
     if spec.mode == 0 and spec.ploid == 2:
         zz = jax.random.randint(kz, (n,), 0, k)
-        z = jnp.zeros((0, 0, 0), jnp.int32)
+        z = jnp.zeros((0, 0), jnp.int32)
         q = jnp.zeros((0, 0), jnp.float32)
         alpha = jnp.zeros((), jnp.float32)
     else:
         zz = jnp.zeros((0,), jnp.int32)
-        z = jax.random.randint(kz, (n, l, p), 0, k)
+        z = jax.random.randint(kz, (n, l * p), 0, k)
         counts = masked_z_counts(z, data, k)
         alpha = jax.random.uniform(kal) * spec.alpha_prior_max
         q = _dirichlet(kq, counts + alpha)
@@ -143,7 +152,10 @@ def _dirichlet(key, conc):
 
 def masked_z_counts(z, data: Dataset, n_pops: int) -> jnp.ndarray:
     """qqnum f32[N, K]: valid allele copies of each individual assigned to
-    each pop (the Q-count loop of update_ZQ, mcmc.c:1176-1194)."""
-    oh = jax.nn.one_hot(z, n_pops, dtype=jnp.float32)      # [N, L, P, K]
-    oh = oh * data.site_valid[:, :, None, None]
-    return oh.sum(axis=(1, 2))
+    each pop (the Q-count loop of update_ZQ, mcmc.c:1176-1194).  z is flat
+    [N, S]; the K axis is a static loop of masked reductions (layout:
+    never a K-trailing one-hot)."""
+    valid = jnp.repeat(data.site_valid, data.ploid, axis=1)  # [N, S]
+    cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
+            for kk in range(n_pops)]
+    return jnp.stack(cols, axis=1)

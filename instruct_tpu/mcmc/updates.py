@@ -64,22 +64,33 @@ def allele_pop_counts(spec: ModelSpec, data: Dataset, z, zz) -> jnp.ndarray:
     """seqpop f32[K, L, A]: valid allele copies per (pop, locus, allele)
     (the counting loops of update_P, mcmc.c:815-845).
 
-    Modes 1-5: contraction over (individual, copy) of one-hot(z) x
-    one-hot(allele) — a batched matmul over loci that maps onto the MXU.
+    Layout note: no [., K]/[., A]-trailing one-hots — the (pop, allele)
+    cells are a static double loop of masked [N, L] reductions that XLA
+    fuses, keeping the loci axis on the 128-lane dimension.
     Mode 0: the per-individual count matrix contracted with one-hot(zz).
     """
-    n, l, p = data.geno.shape
+    l, p = data.n_loci, data.ploid
     a = data.allele_valid.shape[1]
     k = spec.n_pops
     if spec.mode == 0 and spec.ploid == 2:
-        cnt = lk.allele_count_matrix(data).reshape(n, l, a)
-        zoh = jax.nn.one_hot(zz, k, dtype=jnp.float32)      # [N, K]
-        return jnp.einsum("nk,nla->kla", zoh, cnt)
-    zoh = jax.nn.one_hot(z, k, dtype=jnp.float32)           # [N, L, P, K]
-    aoh = jax.nn.one_hot(data.geno, a, dtype=jnp.float32)   # [N, L, P, A]
-    zoh = zoh * data.site_valid[:, :, None, None]
-    # [N,L,P,K] x [N,L,P,A] -> [K,L,A]; batched over L, contraction (N,P).
-    return jnp.einsum("nlpk,nlpa->kla", zoh, aoh)
+        cnt = lk.allele_count_matrix(data)                  # [N, A, L]
+        rows = [jnp.einsum("n,nal->al", (zz == kk).astype(jnp.float32), cnt)
+                for kk in range(k)]
+        return jnp.stack(rows).transpose(0, 2, 1)           # [K, L, A]
+    geno_c = lk.split_copies(data.geno, p)
+    z_c = lk.split_copies(z, p)
+    valid = data.site_valid
+    out = []
+    for kk in range(k):
+        per_allele = []
+        for ai in range(a):
+            acc = jnp.zeros((l,), jnp.float32)
+            for c in range(p):
+                m = valid & (z_c[c] == kk) & (geno_c[c] == ai)
+                acc = acc + m.astype(jnp.float32).sum(axis=0)
+            per_allele.append(acc)
+        out.append(jnp.stack(per_allele, axis=-1))          # [L, A]
+    return jnp.stack(out)                                   # [K, L, A]
 
 
 def update_freq(key, spec: ModelSpec, data: Dataset, z, zz) -> jnp.ndarray:
@@ -99,19 +110,29 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
     """Gibbs z per allele copy then Q | Z ~ Dirichlet(counts + alpha)
     (update_ZQ, mcmc.c:1122-1199).
 
-    z[n,l,c] ~ Cat_k( q[n,k] * freq[k, l, a_{nlc}] ) — mcmc.c:1146;
+    z[n,s] ~ Cat_k( q[n,k] * freq[k, l, a_{ns}] ) — mcmc.c:1146;
     at init (init_flag=1) z is uniform over pops — mcmc.c:1144.
+    z is flat i32[N, S]; sampling is inverse-CDF over the tiny K axis as a
+    static loop, so no [., K]-trailing tensor is ever materialized.
     Returns (z, q, qqnum).
     """
     kz, kq = jax.random.split(key)
-    n, l, p = data.geno.shape
+    n, s = data.geno.shape
     k = spec.n_pops
     if init:
-        z = jax.random.randint(kz, (n, l, p), 0, k)
+        z = jax.random.randint(kz, (n, s), 0, k)
     else:
-        per_pop = lk.gather_freq_all_pops(freq, data.geno)   # [N, L, P, K]
-        logits = _slog(per_pop) + _slog(q)[:, None, None, :]
-        z = jax.random.categorical(kz, logits, axis=-1)
+        terms = [q[:, kk][:, None] * pk
+                 for kk, pk in enumerate(lk.per_pop_copy_probs(freq, data))]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        u = jax.random.uniform(kz, (n, s)) * total
+        z = jnp.zeros((n, s), jnp.int32)
+        cum = jnp.zeros_like(total)
+        for kk in range(k - 1):
+            cum = cum + terms[kk]
+            z = z + (u > cum).astype(jnp.int32)
     qqnum = masked_z_counts(z, data, k)
     q_new = dirichlet_from_counts(kq, qqnum + alpha)
     return z, q_new, qqnum
@@ -352,13 +373,14 @@ def update_gen(key, spec: ModelSpec, data: Dataset, freq, z, q, rates,
 # ---------------------------------------------------------------------------
 
 def _f_site_terms(spec, data, freq, z):
-    """Shared per-site quantities for the F updates: (pz0, pz1, joint_mask)
-    where joint_mask marks valid sites whose copies share one pop — only
-    those depend on F (log_ld_F_*, mcmc.c:1789-1805)."""
-    pz = lk.gather_freq_at_z(freq, data.geno, z)
-    same_z = jnp.all(z == z[:, :, :1], axis=-1)
-    mask = same_z & data.site_valid
-    return pz, mask
+    """Shared per-site quantities for the F updates: per-copy probs and the
+    joint mask of valid sites whose copies share one pop — only those
+    depend on F (log_ld_F_*, mcmc.c:1789-1805)."""
+    pz = lk.gather_freq_at_z(freq, data, z)
+    p0, p1 = lk.split_copies(pz, data.ploid)
+    z0, z1 = lk.split_copies(z, data.ploid)
+    mask = (z0 == z1) & data.site_valid
+    return p0, p1, z0, mask
 
 
 def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
@@ -373,7 +395,7 @@ def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
     Note: the reference computes `exp(MIN2(1, logratio))` (mcmc.c:1040) —
     a bug acknowledged in the survey; we apply standard MH.
     """
-    pz, mask = _f_site_terms(spec, data, freq, z)
+    p0, p1, z0, mask = _f_site_terms(spec, data, freq, z)
     if spec.back_refl == 1:
         prop = propose_back_reflection(jax.random.fold_in(key, 0), rates,
                                        spec.mh_step_s)
@@ -383,15 +405,14 @@ def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
         prop, prop_states, log_hast = propose_adaptive_independence(
             jax.random.fold_in(key, 0), rates, ais_state)
 
-    f_cur = rates[z[:, :, 0]]
-    f_prop = prop[z[:, :, 0]]
-    ll_cur = _slog(lk.genofreq_inbreeding(pz[..., 0], pz[..., 1], data.hom,
-                                          f_cur))
-    ll_prop = _slog(lk.genofreq_inbreeding(pz[..., 0], pz[..., 1], data.hom,
-                                           f_prop))
+    f_cur = rates[z0]
+    f_prop = prop[z0]
+    ll_cur = _slog(lk.genofreq_inbreeding(p0, p1, data.hom, f_cur))
+    ll_prop = _slog(lk.genofreq_inbreeding(p0, p1, data.hom, f_prop))
     diff = jnp.where(mask, ll_prop - ll_cur, 0.0)            # [N, L]
-    zoh = jax.nn.one_hot(z[:, :, 0], spec.n_pops, dtype=diff.dtype)
-    delta = jnp.einsum("nl,nlk->k", diff, zoh)               # [K]
+    delta = jnp.stack([
+        jnp.where(z0 == kk, diff, 0.0).sum()
+        for kk in range(spec.n_pops)])                       # [K]
     u = jax.random.uniform(key, rates.shape, minval=_EPS)
     accept = jnp.log(u) < delta + log_hast
     return (jnp.where(accept, prop, rates),
@@ -403,13 +424,12 @@ def update_f_ind(key, spec: ModelSpec, data: Dataset, freq, z, rates,
     """Mode 5: per-individual MH random walk on F (update_F_IND,
     mcmc.c:888-910); individuals independent -> one parallel sweep.
     Optional normal-prior terms as in :func:`update_s_ind`."""
-    pz, mask = _f_site_terms(spec, data, freq, z)
+    p0, p1, _z0, mask = _f_site_terms(spec, data, freq, z)
     kp, ku = jax.random.split(key)
     prop = propose_back_reflection(kp, rates, spec.mh_step_s)
 
     def lp(f):
-        site = _slog(lk.genofreq_inbreeding(pz[..., 0], pz[..., 1],
-                                            data.hom, f[:, None]))
+        site = _slog(lk.genofreq_inbreeding(p0, p1, data.hom, f[:, None]))
         out = jnp.where(mask, site, 0.0).sum(axis=1)
         if prior_mu is not None:
             out = out - 0.5 * (f - prior_mu) ** 2 / prior_sigma2

@@ -1,18 +1,24 @@
 """Fused genotype-likelihood math for the InStruct model family.
 
-Pure functions over dense tensors; everything is written to fuse into a
-handful of XLA kernels over the [N, L] site grid.  Reference parity:
+Pure functions over dense tensors, written for TPU memory layout: every
+large intermediate keeps the long loci axis trailing (lane dimension).
+Small categorical axes (pops K, alleles A, ploidy P) are *never* the
+trailing dim of a big tensor — TPU pads the last dim to 128 lanes, so a
+[N, L, P, K] one-hot would cost 42x its logical size in HBM.  Instead the
+per-copy site axis is flattened to S = L * ploid ([N, S] tensors) and K/A
+become static Python loops over gathers/reductions that XLA fuses.
 
+Reference parity:
   * :func:`genofreq_selfing`      — genofreq(), mcmc.c:1683-1703.
   * :func:`genofreq_inbreeding`   — genofreq_inbreedcoff(), mcmc.c:1707-1723.
   * :func:`site_loglik`           — the per-(indiv,locus) bodies of
     log_ld_indv / log_ld_F_pop / log_ld_F_indv / log_ld_noselfing_indv
     (mcmc.c:1726-1890).
   * :func:`loglik_matrix_nopop_admix` — log_ld_indv_K (mcmc.c:1893-1914),
-    vectorized to all (i, K) pairs at once as a single MXU matmul.
+    all (i, K) pairs as one MXU matmul.
 
-Shape conventions: freq f32[K, L, A]; geno i32[N, L, P]; z i32[N, L, P];
-q f32[N, K]; gen i32[N] or f32[N]; per-site outputs f32[N, L].
+Shape conventions: freq f32[K, L, A]; geno/z flat i32[N, S]; q f32[N, K];
+per-site outputs f32[N, L].
 """
 
 from __future__ import annotations
@@ -56,31 +62,50 @@ def _safe_log(x):
     return jnp.log(jnp.maximum(x, _EPS))
 
 
-def gather_freq_at_z(freq, geno, z):
-    """p[n, l, c] = freq[z[n,l,c], l, geno[n,l,c]].
-
-    The ubiquitous `ptr->freq[z...][j][seqdata...]` gather
-    (e.g. mcmc.c:1756, 1793, 1830).
-    """
-    l_idx = jnp.arange(geno.shape[1])[None, :, None]
-    return freq[z, l_idx, geno]
-
-
-def gather_freq_all_pops(freq, geno):
-    """p[n, l, c, k] = freq[k, l, geno[n,l,c]] — per-copy allele prob under
-    every candidate pop, the inner quantity of the Z-Gibbs update
-    (mcmc.c:1146)."""
-    # freq: [K, L, A] -> [L, A, K]; gather on allele axis.
-    freq_lak = jnp.transpose(freq, (1, 2, 0))
-    l_idx = jnp.arange(geno.shape[1])[None, :, None]
-    return freq_lak[l_idx, geno]  # [N, L, P, K]
+def flat_site_index(data: Dataset) -> jnp.ndarray:
+    """lin i32[N, S]: flattened (locus, allele) gather index l*A + a for
+    every allele copy, S = L * ploid."""
+    l, p = data.n_loci, data.ploid
+    a = data.allele_valid.shape[1]
+    l_of_s = jnp.repeat(jnp.arange(l, dtype=jnp.int32), p)[None]
+    return l_of_s * a + data.geno
 
 
-def mixture_copy_probs(freq, geno, q):
-    """Expectation-way per-copy probability: p[n,l,c] = sum_m q[n,m] *
-    freq[m, l, geno[n,l,c]] (mcmc.c:1741-1745)."""
-    per_pop = gather_freq_all_pops(freq, geno)          # [N, L, P, K]
-    return jnp.einsum("nlpk,nk->nlp", per_pop, q)
+def gather_freq_at_z(freq, data: Dataset, z) -> jnp.ndarray:
+    """p f32[N, S]: freq[z[n,l,c], l, geno[n,l,c]] in flat layout — the
+    ubiquitous `ptr->freq[z...][j][seqdata...]` gather (mcmc.c:1756)."""
+    l = data.n_loci
+    a = data.allele_valid.shape[1]
+    lin = flat_site_index(data)                           # [N, S]: l*A + a
+    idx = z * (l * a) + lin                               # into [K*L*A]
+    return jnp.take(freq.reshape(-1), idx, axis=None)
+
+
+def per_pop_copy_probs(freq, data: Dataset):
+    """Generator over k of p_k f32[N, S] = freq[k, l, a_{nlc}] — per-copy
+    allele prob under pop k (the inner quantity of the Z-Gibbs update,
+    mcmc.c:1146), yielded per pop to avoid a K-trailing tensor."""
+    l = data.n_loci
+    a = data.allele_valid.shape[1]
+    lin = flat_site_index(data)
+    flat = freq.reshape(freq.shape[0], l * a)
+    for k in range(freq.shape[0]):
+        yield jnp.take(flat[k], lin, axis=None)
+
+
+def mixture_copy_probs(freq, data: Dataset, q) -> jnp.ndarray:
+    """Expectation-way per-copy probability f32[N, S]:
+    p = sum_m q[n,m] freq[m, l, a] (mcmc.c:1741-1745)."""
+    out = None
+    for k, pk in enumerate(per_pop_copy_probs(freq, data)):
+        term = q[:, k][:, None] * pk
+        out = term if out is None else out + term
+    return out
+
+
+def split_copies(flat, p):
+    """[N, S] -> tuple of per-copy [N, L] views (stride-p slices)."""
+    return tuple(flat[:, c::p] for c in range(p))
 
 
 def site_loglik(
@@ -92,7 +117,8 @@ def site_loglik(
     gen: jnp.ndarray | None,
     rates: jnp.ndarray | None,
 ) -> jnp.ndarray:
-    """Per-site log-likelihood f32[N, L] for the admixture modes (1-5).
+    """Per-site log-likelihood f32[N, L] for the admixture modes (1-5);
+    ``z`` is flat i32[N, S].
 
     Dispatches exactly like cal_lkh (mcmc.c:1916-1942):
       mode 1            -> log_ld_noselfing_indv body (mcmc.c:1869-1890)
@@ -102,36 +128,37 @@ def site_loglik(
                            (mcmc.c:1776-1847)
     Invalid sites are forced to 0; callers sum over L.
     """
-    geno = data.geno
+    p = data.ploid
     hom = data.hom
     het = ~hom
 
     if spec.mode in (2, 3) and spec.type_freq == 0:
         # Expectation way: mixture per-copy probs, no dependence on z.
-        p = mixture_copy_probs(freq, geno, q)           # [N, L, P]
-        g = gen[:, None].astype(p.dtype)
-        site = _safe_log(genofreq_selfing(p[..., 0], p[..., 1], hom, g))
+        pm = mixture_copy_probs(freq, data, q)            # [N, S]
+        p0, p1 = split_copies(pm, p)
+        g = gen[:, None].astype(p0.dtype)
+        site = _safe_log(genofreq_selfing(p0, p1, hom, g))
         return jnp.where(data.site_valid, site, 0.0)
 
-    pz = gather_freq_at_z(freq, geno, z)                # [N, L, P]
-    sum_log_pz = _safe_log(pz).sum(-1)
-    indep = sum_log_pz + jnp.where(het, _LOG2, 0.0)     # product + het*log2
+    pz = gather_freq_at_z(freq, data, z)                  # [N, S]
+    p0, p1 = split_copies(pz, p)
+    sum_log_pz = _safe_log(p0) + _safe_log(p1)
+    indep = sum_log_pz + jnp.where(het, _LOG2, 0.0)       # product + het*log2
+    z0, z1 = split_copies(z, p)
     if spec.mode == 1:
-        site = indep                                    # mcmc.c:1877-1888
+        site = indep                                      # mcmc.c:1877-1888
     else:
-        same_z = jnp.all(z == z[:, :, :1], axis=-1)
+        same_z = z0 == z1
         if spec.mode in (2, 3):
-            g = gen[:, None].astype(pz.dtype)
-            joint = _safe_log(
-                genofreq_selfing(pz[..., 0], pz[..., 1], hom, g))
+            g = gen[:, None].astype(p0.dtype)
+            joint = _safe_log(genofreq_selfing(p0, p1, hom, g))
         else:  # modes 4/5: inbreeding coefficient
             if spec.mode == 4:
-                f = rates[z[:, :, 0]]                   # F of pop z[...,0]
+                f = rates[z0]                             # F of pop z[...,0]
                 # (log_ld_F_pop uses inbreed[z[i][j][0]], mcmc.c:1795)
             else:
-                f = rates[:, None]                      # broadcast over loci
-            joint = _safe_log(
-                genofreq_inbreeding(pz[..., 0], pz[..., 1], hom, f))
+                f = rates[:, None]                        # broadcast over loci
+            joint = _safe_log(genofreq_inbreeding(p0, p1, hom, f))
         site = jnp.where(same_z, joint, indep)
     return jnp.where(data.site_valid, site, 0.0)
 
@@ -143,26 +170,35 @@ def per_indv_loglik(spec, data, freq, z, q, gen, rates) -> jnp.ndarray:
 
 
 def allele_count_matrix(data: Dataset) -> jnp.ndarray:
-    """cnt f32[N, L*A]: per individual, per (locus, allele) slot, the number
-    of valid copies carrying that allele.  Reused by mode-0 likelihood and
-    the no-admixture P-count (update_P's mode==0 branch, mcmc.c:825-831)."""
-    n, l, p = data.geno.shape
+    """cnt f32[N, A, L]: per individual, per (allele, locus), the number of
+    valid copies carrying that allele — laid out with L trailing.  Reused
+    by mode-0 likelihood and the no-admixture P-count (update_P's mode==0
+    branch, mcmc.c:825-831)."""
+    n = data.geno.shape[0]
+    l, p = data.n_loci, data.ploid
     a = data.allele_valid.shape[1]
-    oh = jax.nn.one_hot(data.geno, a, dtype=jnp.float32)    # [N, L, P, A]
-    oh = oh * data.site_valid[:, :, None, None]
-    return oh.sum(axis=2).reshape(n, l * a)
+    cols = []
+    valid = data.site_valid
+    geno_c = split_copies(data.geno, p)
+    for ai in range(a):
+        cnt = jnp.zeros((n, l), jnp.float32)
+        for c in range(p):
+            cnt = cnt + jnp.where(valid & (geno_c[c] == ai), 1.0, 0.0)
+        cols.append(cnt)
+    return jnp.stack(cols, axis=1)                        # [N, A, L]
 
 
 def loglik_matrix_nopop_admix(data: Dataset, freq: jnp.ndarray) -> jnp.ndarray:
-    """ll f32[N, K]: log-lik of each individual under a single-pop assignment
-    to every k — log_ld_indv_K (mcmc.c:1893-1914) for all (i, K) as one
-    matmul: ll = cnt @ log(freq)^T + het_bonus."""
-    n, l, _p = data.geno.shape
+    """ll f32[N, K]: log-lik of each individual under a single-pop
+    assignment to every k — log_ld_indv_K (mcmc.c:1893-1914) for all (i, K)
+    as one matmul: ll = cnt @ log(freq)^T + het_bonus."""
+    n, l = data.geno.shape[0], data.n_loci
     a = data.allele_valid.shape[1]
-    cnt = allele_count_matrix(data)                          # [N, L*A]
+    cnt = allele_count_matrix(data).reshape(n, a * l)     # [N, A*L]
     logf = _safe_log(jnp.maximum(freq, 0.0))
-    logf = jnp.where(data.allele_valid[None], logf, 0.0).reshape(-1, l * a)
-    ll = cnt @ logf.T                                        # [N, K]
+    logf = jnp.where(data.allele_valid[None], logf, 0.0)
+    logf = jnp.transpose(logf, (0, 2, 1)).reshape(-1, a * l)  # [K, A*L]
+    ll = cnt @ logf.T                                     # [N, K]
     het_bonus = (jnp.where(~data.hom, _LOG2, 0.0)
                  * data.site_valid).sum(axis=1)
     return ll + het_bonus[:, None]

@@ -57,7 +57,8 @@ class MarginalModel:
 
     def init(self, key) -> MarginalParams:
         k = self.spec.n_pops
-        n, l, _p = self.data.geno.shape
+        n = self.data.geno.shape[0]
+        l = self.data.n_loci
         a = self.data.allele_valid.shape[1]
         k1, k2, k3, k4 = jax.random.split(key, 4)
         return MarginalParams(
@@ -77,16 +78,14 @@ class MarginalModel:
         return p, q, s, alpha
 
     def log_joint(self, params: MarginalParams) -> jnp.ndarray:
+        from instruct_tpu.model import likelihood as lk
         spec, data = self.spec, self.data
         p, q, s, alpha = self.constrain(params)
-        geno, hom, valid = data.geno, data.hom, data.site_valid
+        hom, valid = data.hom, data.site_valid
 
-        # per-copy mixture probs m[n, l, c] = sum_k q_nk P[k, l, a_nlc]
-        freq_lak = jnp.transpose(p, (1, 2, 0))
-        l_idx = jnp.arange(geno.shape[1])[None, :, None]
-        per_pop = freq_lak[l_idx, geno]                       # [N, L, P, K]
-        m = jnp.einsum("nlpk,nk->nlp", per_pop, q)
-        m0, m1 = m[..., 0], m[..., 1]
+        # per-copy mixture probs (flat [N, S], K as a static loop — layout)
+        m = lk.mixture_copy_probs(p, data, q)
+        m0, m1 = lk.split_copies(m, data.ploid)
 
         if spec.mode == 1:
             site = jnp.log(jnp.maximum(

@@ -1,0 +1,484 @@
+"""Tetraploid (auto / allo) MCMC engine — mcmc_POP_tetra_selfing rebuilt
+TPU-first (reference: poly_geno.c:75-140 and callees).
+
+Redesign relative to the C reference:
+  * genotype identities are dense class indices via a precomputed packed-
+    code lookup (combinatorics.py) — no `find_id` linear scans;
+  * the selfing equilibrium (I - s A) P = (1 - s) R is a *batched linear
+    solve* over (pop, loci-of-class) on the MXU, replacing the staged
+    scalar back-substitution + 3x3 Gauss-Jordan (auto_genfreq/gaussj,
+    poly_geno.c:1803-2028, 2384-2435).  A is column-stochastic, which
+    guarantees the solved frequencies sum to one — the invariant the
+    reference asserts after every category;
+  * the latent-ordering Gibbs move (update_geno, poly_geno.c:520-580)
+    samples all (indiv, locus) sites in parallel from a static candidate
+    bank; canonical-form repair is unnecessary because every candidate
+    pattern is canonical by construction;
+  * S updates decouple across pops (a pop's table only scores sites whose
+    copies all sit in that pop), so the K MH decisions run in parallel;
+  * memory layout: allele copies and latent genotypes are flat [N, S4]
+    (S4 = L*4) and all small categorical axes (K, alleles, candidates) are
+    static loops — no small-trailing-dim tensors (TPU pads the last dim to
+    128 lanes).
+
+Documented divergences from the reference (intent over bug):
+  * allo Z-Gibbs uses freq2 for subgenome-2 copies (the reference samples
+    all four copies from system-1 freq, poly_geno.c:773);
+  * the latent-ordering weights use the exact class multiplicities; the
+    reference's choose_*_allo drops a factor 2 for heterozygous-subgenome
+    candidates (poly_geno.c:1010-1022);
+  * monomorphic loci are masked out (constant likelihood either way).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instruct_tpu.config import ModelSpec
+from instruct_tpu.data.dataset import Dataset
+from instruct_tpu.mcmc import updates as up
+from instruct_tpu.mcmc.state import McmcState, _dt_stat
+from instruct_tpu.tetra.combinatorics import (ALLO_PATTERNS, AUTO_PATTERNS,
+                                              build_class_tables)
+
+_EPS = 1e-30
+_NEG = -1e30
+
+
+def _slog(x):
+    return jnp.log(jnp.maximum(x, _EPS))
+
+
+class TetraTables(NamedTuple):
+    """Device-resident per-locus tables (+ static host metadata)."""
+
+    cls: jnp.ndarray          # i32[L] table-stack index of each locus
+    gvalid: jnp.ndarray       # bool[C, G]
+    log_mult: jnp.ndarray     # f32[C, G]
+    lookup: jnp.ndarray       # i32[C, n_max^4]
+    self_mat: jnp.ndarray     # f32[C, G, G]
+    digits_np: np.ndarray     # host [C, G, 4]
+    patterns_np: np.ndarray   # host [5, P_max, 4] candidate orderings
+    n_patterns_np: np.ndarray  # host [5]
+    n_max: int
+    g_max: int
+    class_loci: tuple         # ((class_idx, np loci indices, G), ...) static
+
+
+def build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
+    n_alleles = np.asarray(data.allele_valid).sum(-1).astype(np.int32)
+    ct = build_class_tables(n_alleles, spec.autopoly)
+    cls = ct.class_of_locus(n_alleles)
+    pat_bank = AUTO_PATTERNS if spec.autopoly else ALLO_PATTERNS
+    p_max = max(p.shape[0] for p in pat_bank.values())
+    patterns = np.zeros((5, p_max, 4), np.int32)
+    n_patterns = np.zeros(5, np.int32)
+    for cnt, pats in pat_bank.items():
+        patterns[cnt, :pats.shape[0]] = pats
+        n_patterns[cnt] = pats.shape[0]
+    class_loci = tuple(
+        (ci, np.nonzero(cls == ci)[0], int(ct.g_count[ci]))
+        for ci in range(len(ct.allele_counts))
+        if (cls == ci).any())
+    return TetraTables(
+        cls=jnp.asarray(cls),
+        gvalid=jnp.asarray(ct.valid), log_mult=jnp.asarray(ct.log_mult),
+        lookup=jnp.asarray(ct.lookup), self_mat=jnp.asarray(ct.self_mat),
+        digits_np=ct.digits, patterns_np=patterns, n_patterns_np=n_patterns,
+        n_max=ct.n_max, g_max=ct.g_max, class_loci=class_loci)
+
+
+def _split4(flat):
+    return tuple(flat[:, m::4] for m in range(4))
+
+
+def _mix_per_allele(freq, q):
+    """list over alleles a of m_a f32[N, L] = sum_k q[n,k] freq[k,l,a]
+    (the Q-mixture the reference uses for mixed-z ordering weights,
+    poly_geno.c:879-891)."""
+    a = freq.shape[2]
+    out = []
+    for ai in range(a):
+        acc = None
+        for kk in range(freq.shape[0]):
+            t = q[:, kk][:, None] * freq[kk, :, ai][None, :]
+            acc = t if acc is None else acc + t
+        out.append(acc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# genotype-frequency tables
+# ---------------------------------------------------------------------------
+
+def log_hwe_table(tables: TetraTables, spec: ModelSpec, freq, freq2):
+    """R: log expected (HWE) genotype-class frequencies f32[K, L, G]
+    (calc_exfreq_auto/allo, poly_geno.c:1515-1670) — assembled class-group
+    by class-group from the canonical digit tables (host constants)."""
+    k, l, a = freq.shape
+    lf1 = _slog(freq)
+    lf2 = _slog(freq2) if not spec.autopoly else lf1
+    out = jnp.full((k, l, tables.g_max), _NEG)
+    for ci, loci, g in tables.class_loci:
+        digs = tables.digits_np[ci, :g]                  # host [g, 4]
+        acc = jnp.broadcast_to(
+            jnp.asarray(tables.log_mult)[ci, :g][None, None, :],
+            (k, len(loci), g))
+        for slot in range(4):
+            lf = lf1 if (spec.autopoly or slot < 2) else lf2
+            # gather [K, Lc, g]: allele index digs[:, slot] per class slot
+            sub = lf[:, loci, :]                         # [K, Lc, A]
+            acc = acc + sub[:, :, digs[:, slot]]
+        out = out.at[:, loci, :g].set(acc)
+    return out
+
+
+def selfing_equilibrium(tables: TetraTables, log_hwe, s):
+    """log genotype-class frequencies under selfing rate s_k per pop:
+    solve (I - s_k A_c) P = (1 - s_k) R batched over pops and the loci of
+    each allele-count class (replaces auto_genfreq/allo_genfreq,
+    poly_geno.c:1803-2304).  A column-stochastic => columns of the solution
+    sum to 1 exactly (the reference's "frequencies <= 1" invariant)."""
+    k, l, g_max = log_hwe.shape
+    out = jnp.full((k, l, g_max), _NEG)
+    for ci, loci, g in tables.class_loci:
+        a = tables.self_mat[ci, :g, :g]
+        eye = jnp.eye(g)
+        mats = eye[None] - s[:, None, None] * a[None]        # [K, g, g]
+        r = jnp.exp(log_hwe[:, loci, :g])                    # [K, Lc, g]
+        sol = jax.vmap(lambda m, b: jnp.linalg.solve(m, b.T).T)(mats, r)
+        p = (1.0 - s)[:, None, None] * sol
+        out = out.at[:, loci, :g].set(_slog(p))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# site-level gathers
+# ---------------------------------------------------------------------------
+
+def _site_class(tables: TetraTables, data: Dataset, geno_flat):
+    """class index i32[N, L] of the current ordered genotype (the
+    get_index_auto/allo role, poly_geno.c:1289-1311, 1374-1394)."""
+    g0, g1, g2, g3 = _split4(geno_flat)
+    nm = tables.n_max
+    packed = ((g0 * nm + g1) * nm + g2) * nm + g3
+    flat_idx = tables.cls[None] * (nm ** 4) + packed
+    return jnp.take(tables.lookup.reshape(-1), flat_idx, axis=None)
+
+
+def _table_at(geno_table_log, z0, cls_idx):
+    """t f32[N, L] = geno_table_log[z0, l, cls_idx] via one flat gather."""
+    k, l, g = geno_table_log.shape
+    idx = (z0 * l + jnp.arange(l)[None, :]) * g + cls_idx
+    return jnp.take(geno_table_log.reshape(-1), idx, axis=None)
+
+
+def _log_mult_at(tables, cls_idx):
+    g = tables.log_mult.shape[1]
+    idx = tables.cls[None] * g + cls_idx
+    return jnp.take(tables.log_mult.reshape(-1), idx, axis=None)
+
+
+def _site_loglik(tables, spec, data, freq, freq2, z, geno, geno_table_log):
+    """Per-site log-lik f32[N, L] (cal_lkd via calc_genofq,
+    poly_geno.c:715-735, 1235-1286)."""
+    cls_idx = _site_class(tables, data, geno)
+    zc = _split4(z)
+    gc = _split4(geno)
+    same_z = (zc[0] == zc[1]) & (zc[1] == zc[2]) & (zc[2] == zc[3])
+    ll_same = _table_at(geno_table_log, zc[0], cls_idx)
+    ll_mix = _log_mult_at(tables, cls_idx)
+    k, l, a = freq.shape
+    for slot in range(4):
+        f_sys = freq if (spec.autopoly or slot < 2) else freq2
+        idx = (zc[slot] * l + jnp.arange(l)[None, :]) * a + gc[slot]
+        ll_mix = ll_mix + _slog(jnp.take(f_sys.reshape(-1), idx, axis=None))
+    site = jnp.where(same_z, ll_same, ll_mix)
+    return jnp.where(data.site_valid, site, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# update kernels
+# ---------------------------------------------------------------------------
+
+def _update_p_tetra(key, spec, data: Dataset, z, geno):
+    """Dirichlet-conjugate P update(s) from the latent genotype
+    (update_P_auto/allo, poly_geno.c:390-517); the allo variant counts
+    slots 0-1 into system 1 and 2-3 into system 2."""
+    k = spec.n_pops
+    l = data.n_loci
+    a = data.allele_valid.shape[1]
+    zc = _split4(z)
+    gc = _split4(geno)
+    valid = data.site_valid
+
+    def counts(slots):
+        out = []
+        for kk in range(k):
+            per_a = []
+            for ai in range(a):
+                acc = jnp.zeros((l,), jnp.float32)
+                for c in slots:
+                    m = valid & (zc[c] == kk) & (gc[c] == ai)
+                    acc = acc + m.astype(jnp.float32).sum(axis=0)
+                per_a.append(acc)
+            out.append(jnp.stack(per_a, axis=-1))
+        return jnp.stack(out)                                # [K, L, A]
+
+    if spec.autopoly:
+        f = up.dirichlet_from_counts(key, counts(range(4)) + 1.0,
+                                     data.allele_valid[None])
+        return f, None
+    k1, k2 = jax.random.split(key)
+    f1 = up.dirichlet_from_counts(k1, counts([0, 1]) + 1.0,
+                                  data.allele_valid[None])
+    f2 = up.dirichlet_from_counts(k2, counts([2, 3]) + 1.0,
+                                  data.allele_valid[None])
+    return f1, f2
+
+
+def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
+    """Per-copy Z Gibbs + Q | Z (update_ZQ, poly_geno.c:750-836), with the
+    system-correct frequency per subgenome (divergence note above).
+    Inverse-CDF over the static K axis — no K-trailing tensors."""
+    kz, kq = jax.random.split(key)
+    n, s4 = geno.shape
+    l = data.n_loci
+    k, _, a = freq.shape
+    sys2 = (jnp.arange(s4) % 4) >= 2 if not spec.autopoly else None
+    l_of_s = jnp.repeat(jnp.arange(l, dtype=jnp.int32), 4)[None]
+    lin = l_of_s * a + geno
+    f1 = freq.reshape(k, l * a)
+    f2 = freq2.reshape(k, l * a) if not spec.autopoly else f1
+    terms = []
+    for kk in range(k):
+        v1 = jnp.take(f1[kk], lin, axis=None)
+        if spec.autopoly:
+            v = v1
+        else:
+            v2 = jnp.take(f2[kk], lin, axis=None)
+            v = jnp.where(sys2[None], v2, v1)
+        terms.append(q[:, kk][:, None] * v)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    u = jax.random.uniform(kz, (n, s4)) * total
+    z = jnp.zeros((n, s4), jnp.int32)
+    cum = jnp.zeros_like(total)
+    for kk in range(k - 1):
+        cum = cum + terms[kk]
+        z = z + (u > cum).astype(jnp.int32)
+
+    valid = jnp.repeat(data.site_valid, 4, axis=1)
+    cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
+            for kk in range(k)]
+    qqnum = jnp.stack(cols, axis=1)
+    q_new = up.dirichlet_from_counts(kq, qqnum + alpha)
+    return z, q_new
+
+
+def _candidate_slots(tables: TetraTables, data: Dataset, c: int):
+    """For candidate index c: the 4 slot-allele arrays [N, L] obtained by
+    routing the observed distinct alleles through the pattern bank
+    (the two/tri/tetra_allele_* tables, poly_geno.c:2440-2638)."""
+    cnt = jnp.clip(data.n_distinct, 1, 4)                    # [N, L]
+    dist = _split4(data.distinct)                            # 4 x [N, L]
+    slots = []
+    for m in range(4):
+        pat_cm = jnp.asarray(tables.patterns_np[:, c, m])    # [5]
+        sel = pat_cm[cnt]                                    # [N, L] in 0..3
+        val = jnp.zeros_like(sel)
+        for j in range(4):
+            val = jnp.where(sel == j, dist[j], val)
+        slots.append(val)
+    return slots
+
+
+def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
+    """Gibbs update of the latent ordered genotype (update_geno,
+    poly_geno.c:520-580 + choose_*, 854-1215) for every site in parallel.
+
+    Candidate weights:
+      same-z:  log table[z0, l, class(candidate)]
+      mixed-z: log_mult(candidate) + sum_slots log( sum_k q_k f_sys[k, a] )
+    """
+    n = data.geno.shape[0]
+    l = data.n_loci
+    zc = _split4(z)
+    same_z = (zc[0] == zc[1]) & (zc[1] == zc[2]) & (zc[2] == zc[3])
+    cnt = jnp.clip(data.n_distinct, 1, 4)
+    n_cand = int(tables.n_patterns_np.max())
+    mix1 = _mix_per_allele(freq, q)                          # A x [N, L]
+    mix2 = (_mix_per_allele(freq2, q) if not spec.autopoly else mix1)
+    nm = tables.n_max
+    a = freq.shape[2]
+
+    weights = []
+    cand_slots = []
+    for c in range(n_cand):
+        slots = _candidate_slots(tables, data, c)
+        cand_slots.append(slots)
+        packed = (((slots[0] * nm + slots[1]) * nm + slots[2]) * nm
+                  + slots[3])
+        cls_idx = jnp.take(tables.lookup.reshape(-1),
+                           tables.cls[None] * (nm ** 4) + packed, axis=None)
+        w_same = _table_at(geno_table_log, zc[0], cls_idx)
+        w_mix = _log_mult_at(tables, cls_idx)
+        for m in range(4):
+            mix = mix1 if (spec.autopoly or m < 2) else mix2
+            val = jnp.zeros((n, l), jnp.float32)
+            for ai in range(a):
+                val = jnp.where(slots[m] == ai, mix[ai], val)
+            w_mix = w_mix + _slog(val)
+        w = jnp.where(same_z, w_same, w_mix)
+        valid_c = c < jnp.asarray(tables.n_patterns_np)[cnt]
+        weights.append(jnp.where(valid_c, w, _NEG))
+
+    wstack = jnp.stack(weights, axis=1)                      # [N, C, L]
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, wstack.shape, minval=1e-12, maxval=1.0)))
+    choice = jnp.argmax(wstack + gumbel, axis=1)             # [N, L]
+
+    geno_slots = []
+    for m in range(4):
+        val = jnp.zeros((n, l), jnp.int32)
+        for c in range(n_cand):
+            val = jnp.where(choice == c, cand_slots[c][m], val)
+        geno_slots.append(val)
+    return jnp.stack(geno_slots, axis=-1).reshape(n, l * 4)
+
+
+# ---------------------------------------------------------------------------
+# init + step
+# ---------------------------------------------------------------------------
+
+def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None
+                     ) -> McmcState:
+    """Initial draw (initial_geno, poly_geno.c:316-369: uniform ordering;
+    z uniform; S from file or U(0,1); alpha ~ U[0,10])."""
+    tables = build_tables(spec, data)
+    n = data.geno.shape[0]
+    l = data.n_loci
+    k = spec.n_pops
+    a = data.allele_valid.shape[1]
+    kz, kq, kal, ks, kg = jax.random.split(key, 5)
+
+    cnt = jnp.clip(data.n_distinct, 1, 4)
+    n_cand = int(tables.n_patterns_np.max())
+    w = jnp.where(
+        jnp.arange(n_cand)[None, :, None]
+        < jnp.asarray(tables.n_patterns_np)[cnt][:, None, :], 0.0, _NEG)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(kg, w.shape, minval=1e-12, maxval=1.0)))
+    choice = jnp.argmax(w + gumbel, axis=1)                  # [N, L]
+    geno_slots = []
+    for m in range(4):
+        val = jnp.zeros((n, l), jnp.int32)
+        for c in range(n_cand):
+            slots = _candidate_slots(tables, data, c)
+            val = jnp.where(choice == c, slots[m], val)
+        geno_slots.append(val)
+    geno = jnp.stack(geno_slots, axis=-1).reshape(n, l * 4)
+
+    z = jax.random.randint(kz, (n, l * 4), 0, k)
+    valid = jnp.repeat(data.site_valid, 4, axis=1)
+    cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
+            for kk in range(k)]
+    alpha = jax.random.uniform(kal) * spec.alpha_prior_max
+    g = jax.random.gamma(kq, jnp.stack(cols, axis=1) + alpha)
+    q = g / jnp.maximum(g.sum(-1, keepdims=True), _EPS)
+
+    if init_rates is None:
+        rates = jax.random.uniform(ks, (k,))
+    else:
+        rates = jnp.asarray(init_rates, jnp.float32).reshape(k)
+
+    valid_f = data.allele_valid.astype(jnp.float32)
+    freq0 = valid_f / jnp.maximum(valid_f.sum(-1, keepdims=True), 1.0)
+    freq0 = jnp.broadcast_to(freq0[None], (k, l, a)).astype(jnp.float32)
+
+    return McmcState(
+        freq=freq0, z=z, zz=jnp.zeros((0,), jnp.int32), q=q, alpha=alpha,
+        rates=rates, ais_state=_dt_stat(rates).astype(jnp.int32),
+        gen=jnp.zeros((0,), jnp.int32),
+        loglik_indv=jnp.zeros((n,), jnp.float32),
+        loglik_total=jnp.zeros((), jnp.float32),
+        dpm_values=jnp.zeros((0,), jnp.float32),
+        dpm_counts=jnp.zeros((0,), jnp.int32),
+        dpm_assign=jnp.zeros((0,), jnp.int32),
+        prior_mu=jnp.asarray(spec.priors.normal_mu0, jnp.float32),
+        prior_sigma2=jnp.asarray(spec.priors.normal_sigmasqr0, jnp.float32),
+        freq2=freq0, geno=geno,
+    )
+
+
+def build_tetra_step(spec: ModelSpec, data: Dataset):
+    """One full tetraploid sweep (the step body of mcmc_POP_tetra_selfing,
+    poly_geno.c:98-136): P (+P2), exfreq, S, ZQ, geno, loglik."""
+    if data.distinct is None:
+        raise ValueError("tetraploid step needs Dataset.distinct / "
+                         "n_distinct (load with ploid=4)")
+    tables = build_tables(spec, data)
+    l = data.n_loci
+
+    def step(state: McmcState, key) -> McmcState:
+        kp, ks, kz, kg, ka = jax.random.split(key, 5)
+
+        freq, freq2 = _update_p_tetra(kp, spec, data, state.z, state.geno)
+        if freq2 is None:
+            freq2 = state.freq2
+        state = state._replace(freq=freq, freq2=freq2)
+
+        log_hwe = log_hwe_table(tables, spec, freq, freq2)
+
+        # --- S update: per-pop MH with full-table rebuild --------------
+        kprop = jax.random.fold_in(ks, 17)
+        if spec.back_refl == 1:
+            prop = up.propose_back_reflection(kprop, state.rates,
+                                              spec.mh_step_s)
+            prop_states = state.ais_state
+            log_hast = jnp.zeros_like(state.rates)
+        else:
+            prop, prop_states, log_hast = \
+                up.propose_adaptive_independence(kprop, state.rates,
+                                                 state.ais_state)
+        tab_cur = selfing_equilibrium(tables, log_hwe, state.rates)
+        tab_prop = selfing_equilibrium(tables, log_hwe, prop)
+        cls_idx = _site_class(tables, data, state.geno)
+        zc = _split4(state.z)
+        same_z = (zc[0] == zc[1]) & (zc[1] == zc[2]) & (zc[2] == zc[3])
+        ll_cur = _table_at(tab_cur, zc[0], cls_idx)
+        ll_prop = _table_at(tab_prop, zc[0], cls_idx)
+        diff = jnp.where(same_z & data.site_valid, ll_prop - ll_cur, 0.0)
+        delta = jnp.stack([jnp.where(zc[0] == kk, diff, 0.0).sum()
+                           for kk in range(spec.n_pops)])
+        u = jax.random.uniform(ks, (spec.n_pops,), minval=_EPS)
+        accept = jnp.log(u) < delta + log_hast
+        rates = jnp.where(accept, prop, state.rates)
+        ais = jnp.where(accept, prop_states, state.ais_state)
+        state = state._replace(rates=rates, ais_state=ais)
+        geno_table = selfing_equilibrium(tables, log_hwe, rates)
+
+        # --- Z, Q ------------------------------------------------------
+        z, q = _update_zq_tetra(kz, tables, spec, data, freq, freq2,
+                                state.q, state.alpha, state.geno)
+        state = state._replace(z=z, q=q)
+
+        # --- latent genotype ordering ---------------------------------
+        geno = _sample_geno(kg, tables, spec, data, freq, freq2, q,
+                            geno_table, z)
+        state = state._replace(geno=geno)
+
+        # --- alpha + likelihood ---------------------------------------
+        alpha = up.update_alpha(ka, spec, q, state.alpha)
+        site = _site_loglik(tables, spec, data, freq, freq2, z, geno,
+                            geno_table)
+        indv = site.sum(axis=1)
+        return state._replace(alpha=alpha, loglik_indv=indv,
+                              loglik_total=indv.sum())
+
+    return step

@@ -62,9 +62,9 @@ def test_f_loglik_grid_matches_pointwise():
     panel = synthetic_panel(n_indv=6, n_loci=9, n_pops=2, seed=2)
     data = panel.data
     rng = np.random.default_rng(1)
-    n, l, p = data.geno.shape
+    n, l, p = data.geno3.shape
     freq = jnp.asarray(rng.dirichlet(np.ones(2), size=(2, l)), jnp.float32)
-    z = jnp.asarray(rng.integers(0, 2, (n, l, p)))
+    z = jnp.asarray(rng.integers(0, 2, (n, l * p)))
     m = 16
     grid = (np.arange(m) + 0.5) / m
     got = np.asarray(dpm.f_loglik_grid(ModelSpec(mode=5, n_pops=2), data,
@@ -73,12 +73,12 @@ def test_f_loglik_grid_matches_pointwise():
     from instruct_tpu.model import likelihood as lk
     for mi in [0, 7, 15]:
         f = jnp.full((n,), grid[mi], jnp.float32)
-        pz = lk.gather_freq_at_z(freq, data.geno, z)
-        same = np.asarray(jnp.all(z == z[:, :, :1], -1))
-        mask = same & np.asarray(data.site_valid)
+        pz = lk.gather_freq_at_z(freq, data, z)
+        p0, p1 = lk.split_copies(pz, p)
+        z0, z1 = lk.split_copies(z, p)
+        mask = np.asarray(z0 == z1) & np.asarray(data.site_valid)
         site = np.log(np.maximum(np.asarray(
-            lk.genofreq_inbreeding(pz[..., 0], pz[..., 1], data.hom,
-                                   f[:, None])), 1e-30))
+            lk.genofreq_inbreeding(p0, p1, data.hom, f[:, None])), 1e-30))
         want = np.where(mask, site, 0.0).sum(1)
         np.testing.assert_allclose(got[:, mi], want, rtol=1e-4, atol=1e-4)
 

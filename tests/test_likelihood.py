@@ -70,7 +70,7 @@ def test_genofreq_inbreeding_sums_to_one():
 
 def _brute_site_loglik(spec, data, freq, z, q, gen, rates):
     """Direct per-site loop mirroring log_ld_indv / log_ld_F_* exactly."""
-    geno = np.asarray(data.geno)
+    geno = data.geno3
     valid = np.asarray(data.site_valid)
     freq = np.asarray(freq)
     n, l, p = geno.shape
@@ -107,7 +107,7 @@ def test_site_loglik_vs_bruteforce(mode, type_freq):
                             missing_rate=0.2, seed=2)
     data = panel.data
     spec = ModelSpec(mode=mode, n_pops=3, type_freq=type_freq)
-    k, (n, l, p) = 3, data.geno.shape
+    k, (n, l, p) = 3, data.geno3.shape
     freq = rng.dirichlet(np.ones(3), size=(k, l)).astype(np.float32)
     z = rng.integers(0, k, size=(n, l, p))
     q = rng.dirichlet(np.ones(k), size=n).astype(np.float32)
@@ -116,8 +116,8 @@ def test_site_loglik_vs_bruteforce(mode, type_freq):
         np.float32)
 
     got = np.asarray(lk.site_loglik(
-        spec, data, jnp.asarray(freq), jnp.asarray(z), jnp.asarray(q),
-        jnp.asarray(gen), jnp.asarray(rates)))
+        spec, data, jnp.asarray(freq), jnp.asarray(z.reshape(n, l * p)),
+        jnp.asarray(q), jnp.asarray(gen), jnp.asarray(rates)))
     want = _brute_site_loglik(spec, data, freq, z, q, gen, rates)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
@@ -127,11 +127,11 @@ def test_loglik_matrix_nopop_admix_vs_bruteforce():
     panel = synthetic_panel(n_indv=5, n_loci=9, n_pops=2, n_alleles=2,
                             missing_rate=0.1, seed=4)
     data = panel.data
-    n, l, p = data.geno.shape
+    n, l, p = data.geno3.shape
     freq = rng.dirichlet(np.ones(2), size=(2, l)).astype(np.float32)
     got = np.asarray(lk.loglik_matrix_nopop_admix(data, jnp.asarray(freq)))
 
-    geno = np.asarray(data.geno)
+    geno = data.geno3
     valid = np.asarray(data.site_valid)
     want = np.zeros((n, 2))
     for i in range(n):

@@ -22,11 +22,12 @@ def test_allele_pop_counts_bruteforce(panel):
     data = panel.data
     spec = ModelSpec(mode=2, n_pops=2)
     rng = np.random.default_rng(0)
-    n, l, p = data.geno.shape
+    n, l, p = data.geno3.shape
     z = rng.integers(0, 2, size=(n, l, p))
-    got = np.asarray(up.allele_pop_counts(spec, data, jnp.asarray(z), None))
+    got = np.asarray(up.allele_pop_counts(
+        spec, data, jnp.asarray(z.reshape(n, l * p)), None))
 
-    geno = np.asarray(data.geno)
+    geno = data.geno3
     valid = np.asarray(data.site_valid)
     want = np.zeros_like(got)
     for i in range(n):
@@ -44,8 +45,8 @@ def test_update_freq_posterior_mean(panel):
     data = panel.data
     spec = ModelSpec(mode=2, n_pops=2)
     rng = np.random.default_rng(1)
-    n, l, p = data.geno.shape
-    z = jnp.asarray(rng.integers(0, 2, size=(n, l, p)))
+    n, l, p = data.geno3.shape
+    z = jnp.asarray(rng.integers(0, 2, size=(n, l * p)))
     counts = np.asarray(up.allele_pop_counts(spec, data, z, None))
     draws = jax.vmap(
         lambda k: up.update_freq(k, spec, data, z, None)
@@ -64,15 +65,15 @@ def test_update_zq_conditional(panel):
     data = panel.data
     spec = ModelSpec(mode=2, n_pops=2)
     rng = np.random.default_rng(2)
-    n, l, p = data.geno.shape
+    n, l, p = data.geno3.shape
     freq = jnp.asarray(rng.dirichlet(np.ones(3), size=(2, l)), jnp.float32)
     q = jnp.asarray(rng.dirichlet(np.ones(2), size=n), jnp.float32)
     alpha = jnp.float32(1.0)
     zs = jax.vmap(
         lambda k: up.update_zq(k, spec, data, freq, q, alpha)[0]
     )(jax.random.split(jax.random.key(1), 300))
-    emp_p1 = np.asarray(zs == 1).mean(0)          # [N, L, P]
-    geno = np.asarray(data.geno)
+    emp_p1 = np.asarray(zs == 1).mean(0).reshape(n, l, p)
+    geno = data.geno3
     f = np.asarray(freq)
     qn = np.asarray(q)
     l_idx = np.arange(l)[None, :, None]
@@ -85,9 +86,10 @@ def test_update_zq_conditional(panel):
 def test_masked_z_counts(panel):
     data = panel.data
     rng = np.random.default_rng(3)
-    n, l, p = data.geno.shape
+    n, l, p = data.geno3.shape
     z = rng.integers(0, 2, size=(n, l, p))
-    got = np.asarray(masked_z_counts(jnp.asarray(z), data, 2))
+    got = np.asarray(masked_z_counts(jnp.asarray(z.reshape(n, l * p)),
+                                     data, 2))
     valid = np.asarray(data.site_valid)
     want = np.zeros((n, 2))
     for i in range(n):
