@@ -205,6 +205,13 @@ def write_panel(panel: Panel, path: str, data_fmt: int = 0,
     geno = panel.data.geno3
     site_valid = np.asarray(panel.data.site_valid)
     n, l, p = geno.shape
+    if panel.data.n_distinct is not None:
+        # tetraploid: only the first n_distinct slots are real alleles; pad
+        # the rest by repeating the first allele (same distinct set, which
+        # is all transform_data2 keeps — data_interface.c:571-669)
+        nd = np.asarray(panel.data.n_distinct)
+        slot = np.arange(p)[None, None, :]
+        geno = np.where(slot < nd[:, :, None], geno, geno[:, :, :1])
     names = panel.indv_names or [f"ind{i}" for i in range(n)]
     pops = (np.asarray(panel.pop_index) if panel.pop_index is not None
             else np.zeros(n, np.int32))

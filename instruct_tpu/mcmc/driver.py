@@ -1,4 +1,5 @@
-"""Chain driver: vmapped chains, `lax.scan` step loop, retry-on-empty-cluster.
+"""Chain driver: vmapped chains, `lax.scan` step loop, retry-on-empty-cluster,
+checkpoint/resume.
 
 Replaces the sequential chain loop of the reference (InStruct.c:182-193):
 all chains advance in lockstep as a vmapped leading axis, shardable over a
@@ -6,12 +7,16 @@ device mesh.  A chain flagged by the empty-cluster guard is rerun with a
 fresh key, mirroring the `chn--` retry (InStruct.c:185-190) — unflagged
 chains are replayed with their original keys so the retry loop is
 deterministic and recompile-free.
+
+With ``checkpoint_dir`` the run is segmented: the (states, accumulators)
+pytree is saved every ``checkpoint_every`` iterations and a fresh call with
+the same arguments resumes from the latest checkpoint bitwise (step keys
+are counter-based, so the resumed trajectory equals the uninterrupted one).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -22,8 +27,7 @@ from instruct_tpu.config import ModelSpec, Schedule
 from instruct_tpu.data.dataset import Dataset
 from instruct_tpu.mcmc import updates as up
 from instruct_tpu.mcmc.accumulators import (ChainAccum, accum_update,
-                                            extract_stats, init_accum,
-                                            variance)
+                                            extract_stats, init_accum)
 from instruct_tpu.mcmc.state import McmcState, init_state
 from instruct_tpu.mcmc.step import build_step
 
@@ -56,15 +60,20 @@ class RunResult:
 
 def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
                   track_freq: bool):
+    """Returns (init_chain, run_segment): per-chain initialisation and a
+    scan over an arbitrary index window [start, start+len) — the unit of
+    both the single-shot path and the checkpointed segmented path."""
     step = build_step(spec, data)
     check_at = (-1 if (spec.mode == 0 and spec.ploid == 2)
                 else sched.nstep_check_empty_cluster)
 
-    def run_chain(key: jax.Array, init_rates: Optional[jnp.ndarray]):
+    def init_chain(key: jax.Array, init_rates):
         k_init, k_steps = jax.random.split(key)
         state = init_state(k_init, spec, data, init_rates)
         accum = init_accum(spec, sched, data, track_freq)
+        return state, accum, k_steps
 
+    def run_segment(state, accum, k_steps, idxs):
         def body(carry, step_idx):
             state, accum = carry
             state = step(state, jax.random.fold_in(k_steps, step_idx))
@@ -75,11 +84,10 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
             accum = accum_update(accum, stats, stored, empty, check_at)
             return (state, accum), None
 
-        (state, accum), _ = jax.lax.scan(
-            body, (state, accum), jnp.arange(sched.n_iter, dtype=jnp.int32))
+        (state, accum), _ = jax.lax.scan(body, (state, accum), idxs)
         return state, accum
 
-    return run_chain
+    return init_chain, run_segment
 
 
 def run_mcmc(
@@ -91,6 +99,8 @@ def run_mcmc(
     track_freq: bool = False,
     max_retries: int = 10,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100_000,
 ) -> RunResult:
     """Run ``sched.n_chains`` chains and return streaming posterior moments.
 
@@ -123,24 +133,57 @@ def run_mcmc(
             chain_keys = jax.device_put(chain_keys, cs)
             init_rates = jax.device_put(init_rates, cs)
 
-    run_chain = _chain_runner(spec, sched, data, track_freq)
+    init_chain, run_segment = _chain_runner(spec, sched, data, track_freq)
 
-    def per_chain(key, rates_row):
+    def per_chain_init(key, rates_row):
         rates0 = None if none_rates else rates_row[:r]
-        return run_chain(key, rates0)
+        return init_chain(key, rates0)
 
-    vrun = jax.jit(jax.vmap(per_chain, in_axes=(0, 0)))
-    state, accum = vrun(chain_keys, init_rates)
+    vinit = jax.jit(jax.vmap(per_chain_init))
+    vseg = jax.jit(jax.vmap(run_segment, in_axes=(0, 0, 0, None)))
+
+    def full_run(keys):
+        states, accums, kstep = vinit(keys, init_rates)
+        if checkpoint_dir is None:
+            idxs = jnp.arange(sched.n_iter, dtype=jnp.int32)
+            states, accums = vseg(states, accums, kstep, idxs)
+            return states, accums
+        return _segmented(states, accums, kstep)
+
+    def _segmented(states, accums, kstep):
+        from instruct_tpu import checkpoint as ckpt
+        # typed PRNG keys are stored as their raw uint32 key data
+        kdata = jax.random.key_data(kstep)
+        start = 0
+        latest = ckpt.latest_step(checkpoint_dir)
+        if latest is not None and 0 < latest <= sched.n_iter:
+            states, accums, kdata = ckpt.restore_checkpoint(
+                checkpoint_dir, latest, (states, accums, kdata))
+            start = latest
+        kstep = jax.random.wrap_key_data(jnp.asarray(kdata))
+        while start < sched.n_iter:
+            seg = min(checkpoint_every, sched.n_iter - start)
+            idxs = jnp.arange(start, start + seg, dtype=jnp.int32)
+            states, accums = vseg(states, accums, kstep, idxs)
+            start += seg
+            jax.block_until_ready(accums.count)
+            ckpt.save_checkpoint(checkpoint_dir, start,
+                                 (states, accums, kdata))
+        return states, accums
+
+    state, accum = full_run(chain_keys)
 
     retries = 0
     flags = np.asarray(accum.empty_cluster)
-    while flags.any() and retries < max_retries:
+    while flags.any() and retries < max_retries and checkpoint_dir is None:
         retries += 1
         fresh = jax.vmap(
-            lambda c: jax.random.fold_in(jax.random.fold_in(key, 10_000 + retries), c)
+            lambda c: jax.random.fold_in(
+                jax.random.fold_in(key, 10_000 + retries), c)
         )(jnp.arange(n_chains))
-        chain_keys = jnp.where(jnp.asarray(flags)[:, None], fresh, chain_keys)
-        state, accum = vrun(chain_keys, init_rates)
+        chain_keys = jnp.where(jnp.asarray(flags)[:, None], fresh,
+                               chain_keys)
+        state, accum = full_run(chain_keys)
         flags = np.asarray(accum.empty_cluster)
 
     return RunResult(accum=accum, final_state=state, n_retries=retries)

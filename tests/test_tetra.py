@@ -144,3 +144,45 @@ def test_tetra_recovers_selfing_rate():
         res = run_mcmc(panel.data, spec, sched, jax.random.key(5))
         s_hat = float(np.asarray(res.accum.mean.rates)[0, 0])
         assert abs(s_hat - s_true) < 0.2, (s_true, s_hat)
+
+
+def test_equilibrium_matches_forward_simulation():
+    """Independent validation of the selfing-equilibrium solve: simulate the
+    renewal process directly (HWE draw, then g-1 explicit gamete-pair
+    selfing steps with g ~ Geometric(1-s)) and compare genotype-class
+    frequencies.  This does NOT use the A matrix, so it independently
+    verifies the gamete-enumeration math — and pins down the reference's
+    missing simplex->duplex flow (see
+    test_parity_reference.test_tetraploid_no_reference_parity_by_design)."""
+    rng = np.random.default_rng(0)
+    p = np.array([0.3, 0.7])
+    s = 0.6
+    ct = comb.build_class_tables(np.array([2]), autopoly=True)
+    g = int(ct.g_count[0])
+    a_mat = ct.self_mat[0, :g, :g]
+    digits = ct.digits[0, :g]
+    logr = ct.log_mult[0, :g].astype(float).copy()
+    for slot in range(4):
+        logr += np.log(p[digits[:, slot]])
+    r = np.exp(logr)
+    p_eq = (1 - s) * np.linalg.solve(np.eye(g) - s * a_mat, r)
+
+    pairs = list(itertools.combinations(range(4), 2))
+    m = 60000
+    geno = rng.choice(2, size=(m, 4), p=p)
+    gg = rng.geometric(1 - s, size=m)
+    for t in range(1, int(gg.max())):
+        idx = (gg > t).nonzero()[0]
+        if idx.size == 0:
+            break
+        pr = rng.integers(0, 6, size=(idx.size, 2))
+        for ai, (i1, j1) in enumerate(pairs):
+            for bi, (i2, j2) in enumerate(pairs):
+                sel = idx[(pr[:, 0] == ai) & (pr[:, 1] == bi)]
+                geno[sel] = np.stack([geno[sel, i1], geno[sel, j1],
+                                      geno[sel, i2], geno[sel, j2]], 1)
+    counts = np.zeros(g)
+    lookup = ct.lookup[0]
+    for row in geno:
+        counts[lookup[comb._pack(tuple(row), ct.n_max)]] += 1
+    np.testing.assert_allclose(counts / m, p_eq, atol=0.01)
