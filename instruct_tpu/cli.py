@@ -53,6 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ik", dest="inf_k", type=int, default=0)
     p.add_argument("-kv", dest="k_range", type=int, nargs=2, default=None)
     p.add_argument("-df", dest="distr_fmt", type=int, default=1)
+    p.add_argument("-mm", dest="max_mem", type=float, default=16e9)
     p.add_argument("-ap", dest="autopoly", type=int, default=1)
     p.add_argument("-af", dest="data_fmt", type=int, default=0)
     p.add_argument("--chain-shards", type=int, default=None)
@@ -62,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", default="gibbs",
                    choices=["gibbs", "hmc", "svi", "smc"],
                    help="inference engine (gibbs = reference-family MCMC)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=100_000)
+    p.add_argument("--jsonl-log", default=None,
+                   help="structured per-segment metrics log")
     return p
 
 
@@ -101,6 +106,16 @@ def main(argv=None) -> int:
         n_chains=args.chainnum, ckrep=args.ckrep,
         nstep_check_empty_cluster=args.nstep_check)
 
+    from instruct_tpu.memory import estimate_bytes
+    mem = estimate_bytes(spec, sched, panel.data,
+                         track_freq=bool(args.print_freq))
+    print(f"The memory required for this run is {mem['total_bytes']:.0f}")
+    print(f"The maximum memory allowed is {args.max_mem:.0f}")
+    if mem["total_bytes"] > args.max_mem:
+        raise SystemExit(
+            "Your request of memory exceeds the maximum memory allowed! "
+            "Please change the parameter max_mem")  # InStruct.c:171-172
+
     if args.seeds is not None:
         s1, s2, s3 = args.seeds
         seed = (s1 * 1_000_003 + s2) * 1_000_003 + s3
@@ -128,8 +143,13 @@ def main(argv=None) -> int:
         spec = _dc.replace(spec, n_pops=ksel.best_k)
         print(f"The optimal K is {ksel.best_k}")
     else:
+        # print_info cadence: every 1% of iterations (mcmc.c:1273)
+        progress = (max(1, args.update // 100) if args.print_iter else None)
         res = run_mcmc(panel.data, spec, sched, key, init_rates=init_rates,
-                       track_freq=bool(args.print_freq), mesh=mesh)
+                       track_freq=bool(args.print_freq), mesh=mesh,
+                       checkpoint_dir=args.checkpoint_dir,
+                       checkpoint_every=args.checkpoint_every,
+                       progress_every=progress, jsonl_log=args.jsonl_log)
 
     write_report(args.outfile, panel, spec, sched, res,
                  chain_names=chain_names, argv=sys.argv,

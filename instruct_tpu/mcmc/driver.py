@@ -101,6 +101,9 @@ def run_mcmc(
     mesh=None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 100_000,
+    progress_every: Optional[int] = None,
+    progress_fn=None,
+    jsonl_log: Optional[str] = None,
 ) -> RunResult:
     """Run ``sched.n_chains`` chains and return streaming posterior moments.
 
@@ -142,33 +145,64 @@ def run_mcmc(
     vinit = jax.jit(jax.vmap(per_chain_init))
     vseg = jax.jit(jax.vmap(run_segment, in_axes=(0, 0, 0, None)))
 
+    segmented = checkpoint_dir is not None or progress_every is not None
+
     def full_run(keys):
         states, accums, kstep = vinit(keys, init_rates)
-        if checkpoint_dir is None:
+        if not segmented:
             idxs = jnp.arange(sched.n_iter, dtype=jnp.int32)
             states, accums = vseg(states, accums, kstep, idxs)
             return states, accums
         return _segmented(states, accums, kstep)
+
+    def _report(start, states, accums):
+        """print_info parity (mcmc.c:1267-1316) + JSONL metrics."""
+        ll = np.asarray(states.loglik_total)
+        rates = np.asarray(states.rates)
+        if progress_fn is not None:
+            progress_fn(start, states, accums)
+        else:
+            msg = (f"Step={start}\tlog_likelihood="
+                   + " ".join(f"{v:.3f}" for v in ll))
+            if rates.size and rates.shape[-1] <= 10:
+                msg += "\n" + " ".join(
+                    f"s_{i}={v:.3f}" for i, v in enumerate(rates[0]))
+            print(msg, flush=True)
+        if jsonl_log:
+            import json
+            with open(jsonl_log, "a") as fh:
+                fh.write(json.dumps({
+                    "step": int(start),
+                    "loglik": ll.tolist(),
+                    "rates": rates.tolist() if rates.size <= 256 else None,
+                    "stored": int(np.asarray(accums.count)[0]),
+                }) + "\n")
 
     def _segmented(states, accums, kstep):
         from instruct_tpu import checkpoint as ckpt
         # typed PRNG keys are stored as their raw uint32 key data
         kdata = jax.random.key_data(kstep)
         start = 0
-        latest = ckpt.latest_step(checkpoint_dir)
-        if latest is not None and 0 < latest <= sched.n_iter:
-            states, accums, kdata = ckpt.restore_checkpoint(
-                checkpoint_dir, latest, (states, accums, kdata))
-            start = latest
+        if checkpoint_dir is not None:
+            latest = ckpt.latest_step(checkpoint_dir)
+            if latest is not None and 0 < latest <= sched.n_iter:
+                states, accums, kdata = ckpt.restore_checkpoint(
+                    checkpoint_dir, latest, (states, accums, kdata))
+                start = latest
         kstep = jax.random.wrap_key_data(jnp.asarray(kdata))
+        seg_len = min(x for x in (checkpoint_every, progress_every,
+                                  sched.n_iter) if x is not None)
         while start < sched.n_iter:
-            seg = min(checkpoint_every, sched.n_iter - start)
+            seg = min(seg_len, sched.n_iter - start)
             idxs = jnp.arange(start, start + seg, dtype=jnp.int32)
             states, accums = vseg(states, accums, kstep, idxs)
             start += seg
             jax.block_until_ready(accums.count)
-            ckpt.save_checkpoint(checkpoint_dir, start,
-                                 (states, accums, kdata))
+            if checkpoint_dir is not None:
+                ckpt.save_checkpoint(checkpoint_dir, start,
+                                     (states, accums, kdata))
+            if progress_every is not None or jsonl_log:
+                _report(start, states, accums)
         return states, accums
 
     state, accum = full_run(chain_keys)

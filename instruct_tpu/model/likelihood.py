@@ -71,11 +71,37 @@ def flat_site_index(data: Dataset) -> jnp.ndarray:
     return l_of_s * a + data.geno
 
 
+# Above this many (pop, allele) cells the select formulation stops paying
+# off and we fall back to one big gather.
+_SELECT_MAX_CELLS = 64
+
+
+def _freq_per_site(freq_col, ploid):
+    """[L] per-locus values -> [S] per-copy values (each locus repeated
+    ploid times) — a linear-layout broadcast, NOT a gather."""
+    return jnp.repeat(freq_col, ploid)[None, :]
+
+
 def gather_freq_at_z(freq, data: Dataset, z) -> jnp.ndarray:
     """p f32[N, S]: freq[z[n,l,c], l, geno[n,l,c]] in flat layout — the
-    ubiquitous `ptr->freq[z...][j][seqdata...]` gather (mcmc.c:1756)."""
+    ubiquitous `ptr->freq[z...][j][seqdata...]` gather (mcmc.c:1756).
+
+    Perf note: TPU gathers with tens of millions of arbitrary indices run
+    ~40x slower than linear passes, so for small K*A this is computed as a
+    static select-accumulate over the (pop, allele) grid instead (measured
+    154ms -> a few ms per call at 1000x10k)."""
     l = data.n_loci
     a = data.allele_valid.shape[1]
+    k = freq.shape[0]
+    if k * a <= _SELECT_MAX_CELLS:
+        p = data.ploid
+        out = jnp.zeros(data.geno.shape, freq.dtype)
+        for kk in range(k):
+            zm = z == kk
+            for ai in range(a):
+                vals = _freq_per_site(freq[kk, :, ai], p)
+                out = jnp.where(zm & (data.geno == ai), vals, out)
+        return out
     lin = flat_site_index(data)                           # [N, S]: l*A + a
     idx = z * (l * a) + lin                               # into [K*L*A]
     return jnp.take(freq.reshape(-1), idx, axis=None)
@@ -84,13 +110,24 @@ def gather_freq_at_z(freq, data: Dataset, z) -> jnp.ndarray:
 def per_pop_copy_probs(freq, data: Dataset):
     """Generator over k of p_k f32[N, S] = freq[k, l, a_{nlc}] — per-copy
     allele prob under pop k (the inner quantity of the Z-Gibbs update,
-    mcmc.c:1146), yielded per pop to avoid a K-trailing tensor."""
+    mcmc.c:1146), yielded per pop to avoid a K-trailing tensor.  Same
+    select-vs-gather policy as :func:`gather_freq_at_z`."""
     l = data.n_loci
     a = data.allele_valid.shape[1]
+    k = freq.shape[0]
+    if k * a <= _SELECT_MAX_CELLS:
+        p = data.ploid
+        for kk in range(k):
+            out = _freq_per_site(freq[kk, :, 0], p) * (data.geno == 0)
+            for ai in range(1, a):
+                vals = _freq_per_site(freq[kk, :, ai], p)
+                out = jnp.where(data.geno == ai, vals, out)
+            yield out
+        return
     lin = flat_site_index(data)
     flat = freq.reshape(freq.shape[0], l * a)
-    for k in range(freq.shape[0]):
-        yield jnp.take(flat[k], lin, axis=None)
+    for kk in range(freq.shape[0]):
+        yield jnp.take(flat[kk], lin, axis=None)
 
 
 def mixture_copy_probs(freq, data: Dataset, q) -> jnp.ndarray:

@@ -95,6 +95,25 @@ def build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
 def _split4(flat):
     return tuple(flat[:, m::4] for m in range(4))
 
+# Above this many table cells the select formulation stops paying off and we
+# fall back to a gather (TPU gathers with ~1e7 arbitrary indices measured
+# ~40x slower than linear select passes; cf. likelihood._SELECT_MAX_CELLS).
+_SELECT_MAX_CELLS = 64
+
+
+def _select_or_gather(table_lv, idx):
+    """out[n, l] = table_lv[l, idx[n, l]] — static select loop for small V,
+    flat gather otherwise.  table_lv f32/i32[L, V], idx i32[N, L]."""
+    l, v = table_lv.shape
+    if v <= _SELECT_MAX_CELLS:
+        out = jnp.broadcast_to(table_lv[:, 0][None], idx.shape)
+        out = out.astype(table_lv.dtype)
+        for vi in range(1, v):
+            out = jnp.where(idx == vi, table_lv[:, vi][None], out)
+        return out
+    flat_idx = jnp.arange(l)[None, :] * v + idx
+    return jnp.take(table_lv.reshape(-1), flat_idx, axis=None)
+
 
 def _mix_per_allele(freq, q):
     """list over alleles a of m_a f32[N, L] = sum_k q[n,k] freq[k,l,a]
@@ -166,21 +185,18 @@ def _site_class(tables: TetraTables, data: Dataset, geno_flat):
     g0, g1, g2, g3 = _split4(geno_flat)
     nm = tables.n_max
     packed = ((g0 * nm + g1) * nm + g2) * nm + g3
-    flat_idx = tables.cls[None] * (nm ** 4) + packed
-    return jnp.take(tables.lookup.reshape(-1), flat_idx, axis=None)
+    return _select_or_gather(tables.lookup[tables.cls], packed)
 
 
 def _table_at(geno_table_log, z0, cls_idx):
-    """t f32[N, L] = geno_table_log[z0, l, cls_idx] via one flat gather."""
+    """t f32[N, L] = geno_table_log[z0, l, cls_idx]."""
     k, l, g = geno_table_log.shape
-    idx = (z0 * l + jnp.arange(l)[None, :]) * g + cls_idx
-    return jnp.take(geno_table_log.reshape(-1), idx, axis=None)
+    table_lv = jnp.transpose(geno_table_log, (1, 0, 2)).reshape(l, k * g)
+    return _select_or_gather(table_lv, z0 * g + cls_idx)
 
 
 def _log_mult_at(tables, cls_idx):
-    g = tables.log_mult.shape[1]
-    idx = tables.cls[None] * g + cls_idx
-    return jnp.take(tables.log_mult.reshape(-1), idx, axis=None)
+    return _select_or_gather(tables.log_mult[tables.cls], cls_idx)
 
 
 def _site_loglik(tables, spec, data, freq, freq2, z, geno, geno_table_log):
@@ -195,8 +211,9 @@ def _site_loglik(tables, spec, data, freq, freq2, z, geno, geno_table_log):
     k, l, a = freq.shape
     for slot in range(4):
         f_sys = freq if (spec.autopoly or slot < 2) else freq2
-        idx = (zc[slot] * l + jnp.arange(l)[None, :]) * a + gc[slot]
-        ll_mix = ll_mix + _slog(jnp.take(f_sys.reshape(-1), idx, axis=None))
+        table_lv = jnp.transpose(f_sys, (1, 0, 2)).reshape(l, k * a)
+        vals = _select_or_gather(table_lv, zc[slot] * a + gc[slot])
+        ll_mix = ll_mix + _slog(vals)
     site = jnp.where(same_z, ll_same, ll_mix)
     return jnp.where(data.site_valid, site, 0.0)
 
@@ -250,17 +267,19 @@ def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
     l = data.n_loci
     k, _, a = freq.shape
     sys2 = (jnp.arange(s4) % 4) >= 2 if not spec.autopoly else None
-    l_of_s = jnp.repeat(jnp.arange(l, dtype=jnp.int32), 4)[None]
-    lin = l_of_s * a + geno
-    f1 = freq.reshape(k, l * a)
-    f2 = freq2.reshape(k, l * a) if not spec.autopoly else f1
     terms = []
     for kk in range(k):
-        v1 = jnp.take(f1[kk], lin, axis=None)
+        v1 = jnp.zeros((n, s4), freq.dtype)
+        for ai in range(a):
+            vals = jnp.repeat(freq[kk, :, ai], 4)[None]
+            v1 = jnp.where(geno == ai, vals, v1)
         if spec.autopoly:
             v = v1
         else:
-            v2 = jnp.take(f2[kk], lin, axis=None)
+            v2 = jnp.zeros((n, s4), freq.dtype)
+            for ai in range(a):
+                vals = jnp.repeat(freq2[kk, :, ai], 4)[None]
+                v2 = jnp.where(geno == ai, vals, v2)
             v = jnp.where(sys2[None], v2, v1)
         terms.append(q[:, kk][:, None] * v)
     total = terms[0]
@@ -324,8 +343,7 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
         cand_slots.append(slots)
         packed = (((slots[0] * nm + slots[1]) * nm + slots[2]) * nm
                   + slots[3])
-        cls_idx = jnp.take(tables.lookup.reshape(-1),
-                           tables.cls[None] * (nm ** 4) + packed, axis=None)
+        cls_idx = _select_or_gather(tables.lookup[tables.cls], packed)
         w_same = _table_at(geno_table_log, zc[0], cls_idx)
         w_mix = _log_mult_at(tables, cls_idx)
         for m in range(4):
