@@ -39,6 +39,60 @@ def _tokenize(path: str) -> List[List[str]]:
     return [ln for ln in lines if ln]
 
 
+def _try_native_grid(path: str, meta_cols: int):
+    """Native fast path (instruct_tpu.native): C tokenizer returns the
+    integer token grid; usable when every line has the same token count and
+    all allele tokens are integers (the overwhelmingly common case — the
+    reference's own examples use integer allele codes).  Returns
+    (allele_grid int64[n_lines, n_allele_cols], n_lines) or None."""
+    try:
+        from instruct_tpu import native
+    except Exception:
+        return None
+    tok = native.tokenize_file(path)
+    if tok is None:
+        return None
+    values, per_line = tok
+    if per_line.size == 0 or not (per_line == per_line[0]).all():
+        return None
+    cols = int(per_line[0])
+    if cols <= meta_cols:
+        return None
+    grid = values.reshape(per_line.size, cols)[:, meta_cols:]
+    if (grid == native.NONINT).any():
+        return None
+    return grid
+
+
+def _meta_columns(path: str, meta_cols: int) -> List[List[str]]:
+    """Only the leading meta tokens of each line (cheap maxsplit scan)."""
+    out = []
+    with open(path) as fh:
+        for ln in fh:
+            parts = ln.split(None, meta_cols)
+            if parts:
+                out.append(parts[:meta_cols])
+    return out
+
+
+def _recode_columns_fast(col: np.ndarray, missing_val: Optional[int]):
+    """First-appearance-order integer recode of one locus column
+    (transform_data semantics, data_interface.c:510-547), vectorized."""
+    mask = (col != missing_val) if missing_val is not None \
+        else np.ones(col.shape, bool)
+    obs = col[mask]
+    if obs.size == 0:
+        return np.zeros_like(col, dtype=np.int32), ~mask, []
+    uniq, first = np.unique(obs, return_index=True)
+    order = np.argsort(np.argsort(first))     # rank by first appearance
+    pos = np.searchsorted(uniq, col)
+    pos = np.clip(pos, 0, uniq.size - 1)
+    codes = order[pos].astype(np.int32)
+    codes[~mask] = 0
+    types = [str(v) for v in uniq[np.argsort(first)]]
+    return codes, ~mask, types
+
+
 def read_data(
     path: str,
     ploid: int = 2,
@@ -52,13 +106,20 @@ def read_data(
 ) -> Panel:
     """Parse a genotype file into a :class:`Panel` (read_data,
     data_interface.c:36-86)."""
+    meta_cols_early = label + popdata + n_extra_col
+    if ploid == 2 and not markername:
+        fast = _fast_read_diploid(path, missing, label, popdata,
+                                  n_extra_col, data_fmt, log)
+        if fast is not None:
+            return fast
+
     rows = _tokenize(path)
     marker_names = None
     if markername:
         marker_names = rows[0]
         rows = rows[1:]
 
-    meta_cols = label + popdata + n_extra_col
+    meta_cols = meta_cols_early
     if data_fmt == 0 and ploid == 2:
         n_loci_raw = len(rows[0]) - meta_cols
         if len(rows) % ploid != 0:
@@ -117,6 +178,79 @@ def read_data(
                                marker_names, log)
     return _recode_tetra(alleles, missing, names, pop_index, pop_names,
                          marker_names, log)
+
+
+def _fast_read_diploid(path, missing, label, popdata, n_extra_col,
+                       data_fmt, log) -> Optional[Panel]:
+    """Native-tokenizer fast path for integer-coded diploid panels; returns
+    None (caller falls back to the Python path) for ragged lines,
+    non-integer alleles, or a missing toolchain.  Produces a Panel
+    identical to :func:`_recode_diploid` (tested)."""
+    meta_cols = label + popdata + n_extra_col
+    grid = _try_native_grid(path, meta_cols)
+    if grid is None:
+        return None
+    try:
+        missing_val: Optional[int] = int(missing)
+    except ValueError:
+        missing_val = None
+    n_lines = grid.shape[0]
+    if data_fmt == 0:
+        if n_lines % 2:
+            return None
+        n = n_lines // 2
+        l_raw = grid.shape[1]
+        alleles3 = grid.reshape(n, 2, l_raw).transpose(0, 2, 1)
+        meta_stride = 2
+    else:
+        n = n_lines
+        if grid.shape[1] % 2:
+            return None
+        l_raw = grid.shape[1] // 2
+        alleles3 = grid.reshape(n, l_raw, 2)
+        meta_stride = 1
+
+    names = pops = None
+    if meta_cols:
+        meta = _meta_columns(path, meta_cols)
+        if len(meta) != n_lines:
+            return None
+        meta = meta[::meta_stride]
+        if label:
+            names = [m[0] for m in meta]
+        if popdata:
+            pops = [m[label] for m in meta]
+    pop_names: List[str] = []
+    pop_index = None
+    if pops is not None:
+        pop_index = np.zeros(n, dtype=np.int32)
+        for i, pname in enumerate(pops):
+            if pname not in pop_names:
+                pop_names.append(pname)
+            pop_index[i] = pop_names.index(pname)
+
+    keep, geno_cols, miss_cols, allele_tables = [], [], [], []
+    for j in range(l_raw):
+        col = alleles3[:, j, :].reshape(-1)
+        codes, miss_tok, types = _recode_columns_fast(col, missing_val)
+        if len(types) < 2:
+            print(f"The locus {j + 1} is not polymorphic.", file=log)
+            continue
+        keep.append(j)
+        allele_tables.append(types)
+        geno_cols.append(codes.reshape(n, 2))
+        miss_cols.append(miss_tok.reshape(n, 2).any(axis=1))
+    l = len(keep)
+    print(f"The number of polymorphic loci is {l} now.", file=log)
+    if l == 0:
+        return None
+    geno = np.stack(geno_cols, axis=1)
+    miss = np.stack(miss_cols, axis=1)
+    n_alleles = np.array([len(t) for t in allele_tables], np.int32)
+    data = make_dataset(geno, miss, n_alleles)
+    return Panel(data=data, indv_names=names, pop_index=pop_index,
+                 pop_names=pop_names or None, marker_names=None,
+                 allele_names=allele_tables, n_alleles=n_alleles)
 
 
 def _recode_diploid(alleles, missing, names, pop_index, pop_names,
