@@ -134,6 +134,15 @@ def main(argv=None) -> int:
     if n_rates == 0:
         init_rates = None
 
+    if args.sampler != "gibbs":
+        from instruct_tpu.samplers.run import (run_sampler,
+                                               write_sampler_report)
+        result = run_sampler(args.sampler, panel.data, spec, sched, key)
+        write_sampler_report(args.outfile, panel, spec, result,
+                             argv=sys.argv)
+        print("THE JOB IS SUCCESSFULLY FINISHED")
+        return 0
+
     if args.inf_k:
         n_small, n_large = (args.k_range if args.k_range else (1, 0))
         ksel = infer_k(panel.data, spec, sched, key, n_small, n_large,

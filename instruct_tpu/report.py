@@ -233,3 +233,10 @@ def _print_convergence(fh, result: RunResult, n_chains):
     gr = float(gelman_rubin(convg))
     fh.write(f"\n\nThe Gelman-Rubin statistics for the convergence of "
              f"log-likelihood is {gr:f}.\n")
+    # Extra diagnostic beyond the reference: per-chain ESS of the stored
+    # log-likelihood trace.
+    from instruct_tpu.diagnostics import effective_sample_size
+    ess = [effective_sample_size(convg[c]) for c in range(convg.shape[0])]
+    fh.write("Effective sample size of the log-likelihood trace per "
+             "chain: " + " ".join(f"{e:.1f}" for e in ess)
+             + f" (of {convg.shape[1]} stored)\n")

@@ -77,7 +77,9 @@ class MarginalModel:
         alpha = jax.nn.softplus(params.phi_a) + 1e-3
         return p, q, s, alpha
 
-    def log_joint(self, params: MarginalParams) -> jnp.ndarray:
+    def log_lik(self, params: MarginalParams) -> jnp.ndarray:
+        """Marginalized data log-likelihood (Z and, for mode 2, G summed
+        out)."""
         from instruct_tpu.model import likelihood as lk
         spec, data = self.spec, self.data
         p, q, s, alpha = self.constrain(params)
@@ -110,7 +112,12 @@ class MarginalModel:
                          + jnp.log1p(-sbar)[:, None])
             log_prior -= jax.nn.logsumexp(log_prior, axis=1, keepdims=True)
             ll = jax.nn.logsumexp(per_gen + log_prior, axis=1).sum()
+        return ll
 
+    def log_prior(self, params: MarginalParams) -> jnp.ndarray:
+        """Prior + change-of-variable terms in unconstrained space."""
+        spec = self.spec
+        _p, q, s, alpha = self.constrain(params)
         # priors: P rows ~ Dir(1) (constant); q ~ Dir(alpha) symmetric;
         # s ~ U(0,1) via sigmoid Jacobian; alpha ~ U(0, 10].
         k = spec.n_pops
@@ -128,7 +135,10 @@ class MarginalModel:
         penal_alpha = jnp.where(alpha > self.spec.alpha_prior_max,
                                 -1e3 * (alpha - self.spec.alpha_prior_max),
                                 0.0)
-        return ll + lp_q + jac_s + jac_a + anchor + penal_alpha
+        return lp_q + jac_s + jac_a + anchor + penal_alpha
+
+    def log_joint(self, params: MarginalParams) -> jnp.ndarray:
+        return self.log_lik(params) + self.log_prior(params)
 
     def potential(self, params: MarginalParams) -> jnp.ndarray:
         return -self.log_joint(params)

@@ -56,3 +56,16 @@ def test_cli_initfile(datafile, tmp_path):
                "-j", "5", "-g", "0", "-i", str(init), "--platform", "cpu"])
     assert rc == 0
     assert "warm_start" in out.read_text()
+
+
+@pytest.mark.parametrize("sampler", ["hmc", "svi", "smc"])
+def test_cli_alternative_samplers(datafile, tmp_path, capsys, sampler):
+    out = tmp_path / f"{sampler}.txt"
+    rc = main(["-d", str(datafile), "-o", str(out), "-v", "2", "-K", "2",
+               "-u", "60", "-b", "30", "-t", "2", "-c", "2", "-r", "5",
+               "-j", "5", "-g", "0", "--sampler", sampler,
+               "--platform", "cpu"])
+    assert rc == 0
+    text = out.read_text()
+    assert "Selfing Rates" in text
+    assert "Inferred ancestry" in text
