@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=100_000)
     p.add_argument("--jsonl-log", default=None,
                    help="structured per-segment metrics log")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -134,10 +136,15 @@ def main(argv=None) -> int:
     if n_rates == 0:
         init_rates = None
 
+    import contextlib
+    profile_ctx = (jax.profiler.trace(args.profile_dir)
+                   if args.profile_dir else contextlib.nullcontext())
+
     if args.sampler != "gibbs":
         from instruct_tpu.samplers.run import (run_sampler,
                                                write_sampler_report)
-        result = run_sampler(args.sampler, panel.data, spec, sched, key)
+        with profile_ctx:
+            result = run_sampler(args.sampler, panel.data, spec, sched, key)
         write_sampler_report(args.outfile, panel, spec, result,
                              argv=sys.argv)
         print("THE JOB IS SUCCESSFULLY FINISHED")
@@ -145,8 +152,9 @@ def main(argv=None) -> int:
 
     if args.inf_k:
         n_small, n_large = (args.k_range if args.k_range else (1, 0))
-        ksel = infer_k(panel.data, spec, sched, key, n_small, n_large,
-                       mesh=mesh)
+        with profile_ctx:
+            ksel = infer_k(panel.data, spec, sched, key, n_small, n_large,
+                           mesh=mesh)
         res = ksel.results[ksel.best_k]
         import dataclasses as _dc
         spec = _dc.replace(spec, n_pops=ksel.best_k)
@@ -154,11 +162,14 @@ def main(argv=None) -> int:
     else:
         # print_info cadence: every 1% of iterations (mcmc.c:1273)
         progress = (max(1, args.update // 100) if args.print_iter else None)
-        res = run_mcmc(panel.data, spec, sched, key, init_rates=init_rates,
-                       track_freq=bool(args.print_freq), mesh=mesh,
-                       checkpoint_dir=args.checkpoint_dir,
-                       checkpoint_every=args.checkpoint_every,
-                       progress_every=progress, jsonl_log=args.jsonl_log)
+        with profile_ctx:
+            res = run_mcmc(panel.data, spec, sched, key,
+                           init_rates=init_rates,
+                           track_freq=bool(args.print_freq), mesh=mesh,
+                           checkpoint_dir=args.checkpoint_dir,
+                           checkpoint_every=args.checkpoint_every,
+                           progress_every=progress,
+                           jsonl_log=args.jsonl_log)
 
     write_report(args.outfile, panel, spec, sched, res,
                  chain_names=chain_names, argv=sys.argv,

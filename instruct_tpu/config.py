@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from typing import Optional
 
 
 class Mode(enum.IntEnum):
@@ -96,6 +97,8 @@ class ModelSpec:
     #   (mcmc.c:479); also used as the upper bound of the uniform prior in our
     #   (corrected) alpha MH update
     alpha_sd: float = 1.0              # alpha proposal sd (mcmc.c:1249)
+    use_pallas: Optional[bool] = None  # fused Pallas kernels: None = auto
+    #   (on when running on TPU and the (K, A) grid is small)
 
     @property
     def rates_are_per_pop(self) -> bool:

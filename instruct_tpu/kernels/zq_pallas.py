@@ -60,8 +60,12 @@ def _kernel(seed_ref, q_ref, freq_ref, *refs, n_pops, max_alleles, ploid,
         for t in terms[1:]:
             total = total + t
         if inkernel_prng:
+            # prng_random_bits yields signed i32 and Mosaic can't cast
+            # uint32->f32: mask to the low 23 bits (always non-negative)
+            # for a U[0,1) with single-precision mantissa resolution
             bits = pltpu.prng_random_bits(geno.shape)
-            u01 = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+            u01 = ((bits & 0x7FFFFF).astype(jnp.float32)
+                   * (1.0 / (1 << 23)))
         else:
             u01 = u_refs[c][:]
         u = u01 * total
@@ -98,8 +102,10 @@ def zq_sample_counts(seed, q, freq, geno, site_valid, *, n_pops,
     ploid = s // l
     k, _, a = freq.shape
 
-    bn = min(256, n)
-    bl = min(2048, l)
+    # Block sizes sized for the ~16MB VMEM budget with double buffering:
+    # per block ~ (2*ploid + 1) buffers of bn*bl*4B, x2 for pipelining.
+    bn = min(128, n)
+    bl = min(1024, l)
     n_pad = -n % bn
     l_pad = -l % bl
     inkernel_prng = u is None

@@ -75,3 +75,45 @@ def parse_loglik_mean(outfile) -> np.ndarray:
     text = Path(outfile).read_text()
     return np.asarray([float(x) for x in re.findall(
         r"Posterior Mean = ([-\d.]+)", text)])
+
+
+def parse_transformed_alleles(stdout_text: str, n, l, ploid=2) -> np.ndarray:
+    """The recoded genotype matrix the binary echoes to stdout
+    (transform_data, data_interface.c:554-566): per individual, `ploid`
+    lines of `l` integer codes."""
+    lines = stdout_text.split("Print the transformed allele data:\n", 1)[1]
+    lines = lines.split("End the printing", 1)[0].strip().splitlines()
+    mat = np.array([[int(x) for x in ln.split()] for ln in lines])
+    assert mat.shape == (n * ploid, l), mat.shape
+    return mat.reshape(n, ploid, l).transpose(0, 2, 1)
+
+
+def parse_f_rates(outfile) -> np.ndarray:
+    """Cluster-sorted posterior-mean F (print_F_POP_to_file,
+    result_analysis.c:114-133)."""
+    import re
+    from pathlib import Path
+    text = Path(outfile).read_text()
+    chains = []
+    for block in re.findall(
+            r"The Posterior distribution of Inbreeding Coefficients:\n.*?"
+            r"\n((?:Cluster \d+\t[-\d.]+\t[-\d.]+\n)+)", text):
+        vals = [float(m.group(1)) for m in
+                re.finditer(r"Cluster \d+\t([-\d.]+)\t", block)]
+        chains.append(vals)
+    return np.asarray(chains)
+
+
+def parse_classification(outfile, n, k) -> np.ndarray:
+    """Mode-0 membership probabilities (print_Z_to_file,
+    result_analysis.c:153-191)."""
+    import re
+    from pathlib import Path
+    text = Path(outfile).read_text()
+    block = text.split("Inferred Classification of individuals:", 1)[1]
+    rows = []
+    for line in block.splitlines():
+        m = re.match(r"\d+\t\S+\t\(\d+\)\t\d+ : ((?:\t[-\d.]+)+)", line)
+        if m:
+            rows.append([float(x) for x in m.group(1).split()])
+    return np.asarray(rows[:n])

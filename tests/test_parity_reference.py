@@ -121,3 +121,67 @@ def test_tetraploid_no_reference_parity_by_design():
     # recursion for n=2) sums to 3/4: self 1/2 + mono 1/4 + duplex 0.
     ref_simplex_column_sum = 0.5 + 0.25 + 0.0
     assert abs(ref_simplex_column_sum - 0.75) < 1e-12
+
+
+def test_recoded_matrix_golden_parse(ref_exe, tmp_path):
+    """Our loader's integer recode must equal the matrix the binary echoes
+    (transform_data, data_interface.c:554-566) — the survey's golden parse
+    anchor (survey SS7 build step 1)."""
+    from _refbinary import parse_transformed_alleles
+    panel = synthetic_panel(n_indv=12, n_loci=15, n_pops=2, n_alleles=3,
+                            missing_rate=0.15, seed=44)
+    datafile = tmp_path / "g.txt"
+    write_panel(panel, str(datafile))
+    res = run_reference(ref_exe, datafile, tmp_path / "go.txt", 12, 15, 2,
+                        1, 40, 20, 2, extra=("-j", "5"))
+    ref_mat = parse_transformed_alleles(res.stdout, 12, 15)
+    panel2 = read_data(str(datafile), ploid=2, log=open("/dev/null", "w"))
+    ours = panel2.data.geno3
+    miss = ~np.asarray(panel2.data.site_valid)
+    # missing sites: reference stores -9, ours stores 0 + mask
+    np.testing.assert_array_equal(
+        np.where(miss[:, :, None], -9, ours), ref_mat)
+
+
+def test_mode4_inbreeding_parity(ref_exe, tmp_path):
+    from _refbinary import parse_f_rates
+    panel = synthetic_panel(n_indv=60, n_loci=60, n_pops=2, n_alleles=2,
+                            selfing_rates=np.array([0.1, 0.8]),
+                            admixture_alpha=0.05, seed=55)
+    datafile = tmp_path / "f.txt"
+    write_panel(panel, str(datafile))
+    outfile = tmp_path / "fo.txt"
+    run_reference(ref_exe, datafile, outfile, 60, 60, 2, 4, 12000, 6000, 5)
+    ref_f = np.sort(parse_f_rates(outfile)[0])
+
+    panel2 = read_data(str(datafile), ploid=2, log=open("/dev/null", "w"))
+    res = run_mcmc(panel2.data, ModelSpec(mode=4, n_pops=2),
+                   Schedule(n_iter=12000, burnin=6000, thinning=5,
+                            n_chains=2, ckrep=100,
+                            nstep_check_empty_cluster=50),
+                   jax.random.key(21))
+    ours = np.sort(np.asarray(res.accum.mean.rates), axis=1).mean(0)
+    np.testing.assert_allclose(ours, ref_f, atol=0.08)
+
+
+def test_mode0_classification_parity(ref_exe, tmp_path):
+    from _refbinary import parse_classification
+    panel = synthetic_panel(n_indv=40, n_loci=60, n_pops=2, n_alleles=2,
+                            admixture_alpha=0.03, seed=66)
+    datafile = tmp_path / "z.txt"
+    write_panel(panel, str(datafile))
+    outfile = tmp_path / "zo.txt"
+    run_reference(ref_exe, datafile, outfile, 40, 60, 2, 0, 6000, 3000, 5)
+    ref_q = parse_classification(outfile, 40, 2)
+    ref_cls = ref_q.argmax(1)
+
+    panel2 = read_data(str(datafile), ploid=2, log=open("/dev/null", "w"))
+    res = run_mcmc(panel2.data, ModelSpec(mode=0, n_pops=2),
+                   Schedule(n_iter=6000, burnin=3000, thinning=5,
+                            n_chains=1, ckrep=100,
+                            nstep_check_empty_cluster=50),
+                   jax.random.key(31))
+    ours_cls = np.asarray(res.accum.mean.q)[0].argmax(1)
+    agree = max((ours_cls == ref_cls).mean(),
+                (ours_cls == 1 - ref_cls).mean())
+    assert agree >= 0.9, agree
