@@ -1,0 +1,409 @@
+"""Fused Pallas TPU kernels for the diploid admixture step (modes 1/2/3).
+
+The XLA formulation of one MCMC sweep moves ~2 GB of HBM per step at the
+north-star panel size (1000 x 10k): every update kernel re-reads the site
+tensors and materializes f32 [N, S] intermediates.  The sweep has exactly
+three sequence points that force separate device passes:
+
+  1. allele counts[K, L, A] from (z, geno)        -> P ~ Dir(counts + 1)
+  2. given the fresh P and the old Q: Z-Gibbs sample + per-individual pop
+     counts + the selfing-generation log-likelihood pair (current and
+     proposed G share every intermediate)          -> G accept, Q ~ Dir
+  3. given the fresh Q and G: the panel log-likelihood (cal_lkh)
+
+Each pass is one Pallas kernel here, reading the int8 site planes once and
+keeping all intermediates in VMEM/registers: ~200 MB of traffic per step
+instead of ~2 GB.  Reference parity: the kernels compute the exact update
+equations of update_P's count loop (mcmc.c:815-845), update_ZQ
+(mcmc.c:1122-1199), update_G's likelihood ratio via log_ld_indv
+(mcmc.c:1053-1091, 1726-1773) and cal_lkh (mcmc.c:1916-1942); fed the same
+uniforms they reproduce the XLA path bit-for-bit (tests/test_fused_step.py).
+
+Layout contract (see data/dataset.py): copy-major flat site tensors — the
+[N, 2L] arrays are passed twice with block index maps offset by L//bl so
+each grid point sees both copies of the same (individual, locus) block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2 = 0.6931471805599453
+_EPS = 1e-30
+
+
+def _pad2(x, bn, bl):
+    n, l = x.shape
+    return jnp.pad(x, ((0, -n % bn), (0, -l % bl)))
+
+
+def _log(x):
+    return jnp.log(jnp.maximum(x, _EPS))
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: allele-count reduction  (update_P counting, mcmc.c:815-845)
+# ---------------------------------------------------------------------------
+
+def _counts_kernel(z0, z1, g0, g1, valid, cnt, *, n_pops, max_alleles):
+    i = pl.program_id(1)                      # N-block axis (minor)
+
+    @pl.when(i == 0)
+    def _init():
+        cnt[:] = jnp.zeros_like(cnt)
+
+    # loads stay int8 in HBM; compute upcasts to i32 (Mosaic has no i8 cmp)
+    v = valid[:] != 0
+    pairs = ((z0[:].astype(jnp.int32), g0[:].astype(jnp.int32)),
+             (z1[:].astype(jnp.int32), g1[:].astype(jnp.int32)))
+    for zc, gc in pairs:
+        for k in range(n_pops):
+            zm = v & (zc == k)
+            for a in range(max_alleles):
+                m = (zm & (gc == a)).astype(jnp.float32)
+                r = k * max_alleles + a
+                cnt[r:r + 1, :] += m.sum(axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pops", "max_alleles", "interpret"))
+def allele_counts(z, geno, site_valid, *, n_pops, max_alleles,
+                  interpret=False):
+    """counts f32[K, L, A] of valid allele copies per (pop, locus, allele).
+
+    z, geno int8[N, 2L] copy-major; site_valid bool[N, L].
+    """
+    n, l = site_valid.shape
+    bn, bl = min(256, n), min(1024, -(-l // 128) * 128)
+    zp = [_pad2(z[:, :l], bn, bl), _pad2(z[:, l:], bn, bl)]
+    gp = [_pad2(geno[:, :l], bn, bl), _pad2(geno[:, l:], bn, bl)]
+    vp = _pad2(site_valid.astype(jnp.int8), bn, bl)
+    np_, lp = vp.shape
+    grid = (lp // bl, np_ // bn)              # N axis minor: accumulation
+
+    blk = pl.BlockSpec((bn, bl), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_counts_kernel, n_pops=n_pops,
+                          max_alleles=max_alleles),
+        grid=grid,
+        in_specs=[blk] * 5,
+        out_specs=pl.BlockSpec((n_pops * max_alleles, bl),
+                               lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pops * max_alleles, lp),
+                                       jnp.float32),
+        interpret=interpret,
+    )(*zp, *gp, vp)
+    return (out[:, :l].reshape(n_pops, max_alleles, l)
+            .transpose(0, 2, 1))              # [K, L, A]
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2/3: the per-site pass — Z sample + counts + log-likelihoods
+# ---------------------------------------------------------------------------
+
+def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, n_gen,
+                 structure, mode1_ll, n_l_blocks, block_l, inkernel_prng):
+    """One [bn, bl] block of the per-site sweep.
+
+    Ref order (inputs): q, freq_rows, geno0, geno1, valid, hom?,
+    z0_in?, z1_in?, wg (bn, n_gen)?, u0?, u1?
+    Outputs: z0_out?, z1_out?, cnt (bn, K)?, cnt_la ([K*A, L] resident)?,
+    ll (bn, max(n_gen,1))?  The ? groups are present per the static flags.
+
+    When sampling, the [K, L, A] allele-pop counts of the FRESH z are also
+    accumulated (cnt_la) so the next step's P update needs no extra pass
+    over the site tensors — the z values are already in registers here.
+    cnt_la is a full-array resident output (block index constant) because
+    its reduction axis (N-blocks) is the major grid axis.
+    """
+    it = iter(refs)
+    q_ref = next(it)
+    freq_ref = next(it)
+    g0 = next(it)[:].astype(jnp.int32)
+    g1 = next(it)[:].astype(jnp.int32)
+    valid = next(it)[:] != 0
+    need_ll = n_gen > 0 or mode1_ll
+    hom = next(it)[:] != 0 if n_gen > 0 else None
+    z0_in = (next(it)[:].astype(jnp.int32)
+             if structure and n_gen > 0 else None)
+    z1_in = (next(it)[:].astype(jnp.int32)
+             if structure and n_gen > 0 else None)
+    wg_ref = next(it) if n_gen > 0 else None
+    u0 = None if inkernel_prng else next(it)[:]
+    u1 = None if inkernel_prng else next(it)[:]
+    outs = list(it)
+    oi = 0
+    cnt_la_ref = None
+    if sample:
+        z0_out, z1_out, cnt_ref, cnt_la_ref = outs[:4]
+        oi = 4
+    ll_ref = outs[oi] if need_ll else None
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    if inkernel_prng and sample:
+        pltpu.prng_seed(seed_ref[0] + i * n_l_blocks + j)
+
+    @pl.when(j == 0)
+    def _init():
+        if sample:
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        if need_ll:
+            ll_ref[:] = jnp.zeros_like(ll_ref)
+
+    if sample:
+        @pl.when(jnp.logical_and(i == 0, j == 0))
+        def _init_la():
+            cnt_la_ref[:] = jnp.zeros_like(cnt_la_ref)
+
+    # per-copy per-pop allele probabilities w_k = freq[k, l, a_{nl}]
+    def w_of(gc):
+        ws = []
+        for k in range(n_pops):
+            if max_alleles == 2:
+                f0 = freq_ref[k * 2, :][None, :]
+                f1 = freq_ref[k * 2 + 1, :][None, :]
+                ws.append(f0 + (f1 - f0) * (gc == 1).astype(jnp.float32))
+            else:
+                w = jnp.zeros(gc.shape, jnp.float32)
+                for a in range(max_alleles):
+                    row = freq_ref[k * max_alleles + a, :][None, :]
+                    w = jnp.where(gc == a, row, w)
+                ws.append(w)
+        return ws
+
+    w0 = w_of(g0)
+    w1 = w_of(g1)
+
+    z0 = z1 = None
+    if sample:
+        # z_c ~ Cat_k(q_k * w_c_k) by inverse-CDF (update_ZQ, mcmc.c:1146)
+        def draw(ws, u01):
+            terms = [q_ref[:, k][:, None] * ws[k] for k in range(n_pops)]
+            total = terms[0]
+            for t in terms[1:]:
+                total = total + t
+            if u01 is None:
+                bits = pltpu.prng_random_bits(total.shape)
+                u01 = ((bits & 0x7FFFFF).astype(jnp.float32)
+                       * (1.0 / (1 << 23)))
+            u = u01 * total
+            zc = jnp.zeros(total.shape, jnp.int32)
+            cum = jnp.zeros_like(total)
+            for k in range(n_pops - 1):
+                cum = cum + terms[k]
+                zc = zc + (u > cum).astype(jnp.int32)
+            return zc
+
+        z0 = draw(w0, u0)
+        z1 = draw(w1, u1)
+        z0_out[:] = z0.astype(jnp.int8)
+        z1_out[:] = z1.astype(jnp.int8)
+        col = pl.multiple_of(j * block_l, block_l)
+        vf = valid.astype(jnp.float32)
+        for k in range(n_pops):
+            m0 = (z0 == k).astype(jnp.float32) * vf
+            m1 = (z1 == k).astype(jnp.float32) * vf
+            cnt_ref[:, k] += (m0 + m1).sum(axis=1)
+            # allele-pop counts of the fresh z (update_P's counting loop,
+            # mcmc.c:815-845) — accumulated into the resident [K*A, L] out
+            if max_alleles == 2:
+                g0f = g0.astype(jnp.float32)
+                g1f = g1.astype(jnp.float32)
+                tot = (m0 + m1).sum(axis=0, keepdims=True)
+                ones = (m0 * g0f + m1 * g1f).sum(axis=0, keepdims=True)
+                cnt_la_ref[2 * k:2 * k + 1, pl.ds(col, block_l)] += (
+                    tot - ones)
+                cnt_la_ref[2 * k + 1:2 * k + 2, pl.ds(col, block_l)] += ones
+            else:
+                for a in range(max_alleles):
+                    v = ((m0 * (g0 == a).astype(jnp.float32)
+                          + m1 * (g1 == a).astype(jnp.float32))
+                         .sum(axis=0, keepdims=True))
+                    r = k * max_alleles + a
+                    cnt_la_ref[r:r + 1, pl.ds(col, block_l)] += v
+
+    if mode1_ll:
+        # mode 1 cal_lkh: independent-copy log-lik at the fresh z
+        # (log_ld_noselfing_indv, mcmc.c:1869-1890)
+        def at_z(ws, zc):
+            p = ws[0]
+            for k in range(1, n_pops):
+                p = jnp.where(zc == k, ws[k], p)
+            return p
+        p0 = at_z(w0, z0)
+        p1 = at_z(w1, z1)
+        # (g0 - g1) != 0 rather than g0 != g1: Mosaic folds an eq of two
+        # i8->i32 converts back into an unsupported i8 vector cmp
+        het_f = ((g0 - g1) != 0).astype(jnp.float32)
+        site = _log(p0) + _log(p1) + het_f * _LOG2
+        vf = valid.astype(jnp.float32)
+        ll_ref[:, 0] += (site * vf).sum(axis=1)
+        return
+
+    if n_gen == 0:
+        return
+
+    # selfing-generation log-likelihood columns (log_ld_indv,
+    # mcmc.c:1726-1773); wg = 2^{1-g} per column precomputed host-side
+    if structure:
+        def at_z(ws, zc):
+            p = ws[0]
+            for k in range(1, n_pops):
+                p = jnp.where(zc == k, ws[k], p)
+            return p
+        p0 = at_z(w0, z0_in)
+        p1 = at_z(w1, z1_in)
+        same = (z0_in - z1_in) == 0      # see het_f note on i8 vector cmp
+        hom_f = hom.astype(jnp.float32)
+        indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
+    else:
+        p0 = q_ref[:, 0][:, None] * w0[0]
+        p1 = q_ref[:, 0][:, None] * w1[0]
+        for k in range(1, n_pops):
+            p0 = p0 + q_ref[:, k][:, None] * w0[k]
+            p1 = p1 + q_ref[:, k][:, None] * w1[k]
+        same = None
+        indep = None
+
+    vf = valid.astype(jnp.float32)
+    for gcol in range(n_gen):
+        wg = wg_ref[:, gcol][:, None]
+        gf = jnp.where(hom,
+                       p0 * p0 + p0 * (1.0 - p0) * (1.0 - wg),
+                       2.0 * p0 * p1 * wg)
+        site = _log(gf)
+        if structure:
+            site = jnp.where(same, site, indep)
+        ll_ref[:, gcol] += (site * vf).sum(axis=1)
+
+
+def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, wg, u, *,
+               sample, n_gen, structure, mode1_ll, interpret):
+    n, l = site_valid.shape
+    k, _, a = freq.shape
+    bn, bl = min(128, max(8, n)), min(1024, -(-l // 128) * 128)
+    np_, lp = n + (-n % bn), l + (-l % bl)
+    grid = (np_ // bn, lp // bl)              # L axis minor: accumulation
+
+    gp = [_pad2(geno[:, :l], bn, bl), _pad2(geno[:, l:], bn, bl)]
+    vp = _pad2(site_valid.astype(jnp.int8), bn, bl)
+    qp = jnp.pad(q, ((0, np_ - n), (0, 0)))
+    freq_rows = jnp.pad(jnp.transpose(freq, (0, 2, 1)).reshape(k * a, l),
+                        ((0, 0), (0, lp - l)))
+
+    operands = [qp, freq_rows, *gp, vp]
+    in_specs = [
+        pl.BlockSpec((bn, k), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k * a, bl), lambda i, j, *_: (0, j),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                      memory_space=pltpu.VMEM)] * 3
+    if n_gen > 0:
+        operands.append(_pad2(hom.astype(jnp.int8), bn, bl))
+        in_specs.append(pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                                     memory_space=pltpu.VMEM))
+    if structure and n_gen > 0:
+        operands += [_pad2(z_in[:, :l], bn, bl), _pad2(z_in[:, l:], bn, bl)]
+        in_specs += [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                                  memory_space=pltpu.VMEM)] * 2
+    if n_gen > 0:
+        operands.append(jnp.pad(wg, ((0, np_ - n), (0, 0))))
+        in_specs.append(pl.BlockSpec((bn, n_gen), lambda i, j, *_: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    inkernel_prng = u is None
+    if not inkernel_prng:
+        operands += [jnp.pad(u[:, :l], ((0, np_ - n), (0, lp - l)),
+                             constant_values=0.5),
+                     jnp.pad(u[:, l:], ((0, np_ - n), (0, lp - l)),
+                             constant_values=0.5)]
+        in_specs += [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                                  memory_space=pltpu.VMEM)] * 2
+
+    out_shapes, out_specs = [], []
+    if sample:
+        out_shapes += [jax.ShapeDtypeStruct((np_, lp), jnp.int8)] * 2
+        out_specs += [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shapes.append(jax.ShapeDtypeStruct((np_, k), jnp.float32))
+        out_specs.append(pl.BlockSpec((bn, k), lambda i, j, *_: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        # resident allele-pop counts of the fresh z: block index constant
+        out_shapes.append(jax.ShapeDtypeStruct((k * a, lp), jnp.float32))
+        out_specs.append(pl.BlockSpec((k * a, lp), lambda i, j, *_: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    need_ll = n_gen > 0 or mode1_ll
+    if need_ll:
+        ncol = max(n_gen, 1)
+        out_shapes.append(jax.ShapeDtypeStruct((np_, ncol), jnp.float32))
+        out_specs.append(pl.BlockSpec((bn, ncol), lambda i, j, *_: (i, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _site_kernel, n_pops=k, max_alleles=a, sample=sample, n_gen=n_gen,
+        structure=structure, mode1_ll=mode1_ll, n_l_blocks=grid[1],
+        block_l=bl, inkernel_prng=inkernel_prng)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=out_specs)
+    outs = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shapes,
+                          interpret=interpret)(
+        jnp.asarray(seed, jnp.int32).reshape(1), *operands)
+
+    res = {}
+    oi = 0
+    if sample:
+        z = jnp.concatenate([outs[0][:n, :l], outs[1][:n, :l]], axis=1)
+        res["z"] = z
+        res["qqnum"] = outs[2][:n]
+        res["zcounts"] = (outs[3][:, :l].reshape(k, a, l)
+                          .transpose(0, 2, 1))             # [K, L, A]
+        oi = 4
+    if need_ll:
+        res["ll"] = outs[oi][:n]
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("structure", "interpret"))
+def zq_gen_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
+                structure, interpret=False, u=None):
+    """Sequence point 2: sample z, count per-individual pops, and compute
+    the G log-likelihood at the current and proposed generation counts.
+
+    wg_pair f32[N, 2] = 2^{1-g} for (g_cur, g_prop).
+    Returns (z int8[N, 2L], qqnum f32[N, K], ll f32[N, 2],
+    zcounts f32[K, L, A] — allele-pop counts of the fresh z for the next
+    step's P update).
+    """
+    r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, u,
+                   sample=True, n_gen=2, structure=structure,
+                   mode1_ll=False, interpret=interpret)
+    return r["z"], r["qqnum"], r["ll"], r["zcounts"]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def zq_mode1_pass(seed, q, freq, geno, site_valid, *, interpret=False,
+                  u=None):
+    """Sequence point 2 for mode 1 (no selfing): sample z + counts + the
+    cal_lkh log-lik at the fresh z, all in one pass.
+    Returns (z, qqnum, ll f32[N], zcounts f32[K, L, A])."""
+    r = _site_pass(seed, q, freq, geno, site_valid, None, None, None, u,
+                   sample=True, n_gen=0, structure=True, mode1_ll=True,
+                   interpret=interpret)
+    return r["z"], r["qqnum"], r["ll"][:, 0], r["zcounts"]
+
+
+@functools.partial(jax.jit, static_argnames=("structure", "interpret"))
+def panel_loglik_pass(freq, q, geno, site_valid, hom, z, wg, *,
+                      structure, interpret=False):
+    """Sequence point 3: cal_lkh (mcmc.c:1916-1942) for modes 2/3 —
+    per-individual log-lik at the fresh (q, gen, z).  wg f32[N, 1]."""
+    r = _site_pass(jnp.zeros((), jnp.int32), q, freq, geno, site_valid, hom,
+                   z, wg, None, sample=False, n_gen=1, structure=structure,
+                   mode1_ll=False, interpret=interpret)
+    return r["ll"][:, 0]

@@ -47,7 +47,7 @@ def _kernel(seed_ref, q_ref, freq_ref, *refs, n_pops, max_alleles, ploid,
 
     valid = valid_ref[:] != 0
     for c in range(ploid):
-        geno = geno_refs[c][:]
+        geno = geno_refs[c][:].astype(jnp.int32)
         # w_k = q[n, k] * freq[k, l, a_{nl}] via static (k, a) selects
         terms = []
         for k in range(n_pops):
@@ -109,8 +109,9 @@ def zq_sample_counts(seed, q, freq, geno, site_valid, *, n_pops,
     n_pad = -n % bn
     l_pad = -l % bl
     inkernel_prng = u is None
-    genos = [geno[:, c::ploid] for c in range(ploid)]
-    us = [] if inkernel_prng else [u[:, c::ploid] for c in range(ploid)]
+    genos = [geno[:, c * l:(c + 1) * l] for c in range(ploid)]
+    us = ([] if inkernel_prng
+          else [u[:, c * l:(c + 1) * l] for c in range(ploid)])
     if n_pad or l_pad:
         genos = [jnp.pad(g, ((0, n_pad), (0, l_pad))) for g in genos]
         us = [jnp.pad(x, ((0, n_pad), (0, l_pad)), constant_values=0.5)
@@ -164,5 +165,5 @@ def zq_sample_counts(seed, q, freq, geno, site_valid, *, n_pops,
 
     zs = [o[:n, :l] for o in outs[:ploid]]
     qqnum = outs[ploid][:n]
-    z = jnp.stack(zs, axis=-1).reshape(n, l * ploid)
+    z = jnp.concatenate(zs, axis=1)        # copy-major [N, S]
     return z, qqnum

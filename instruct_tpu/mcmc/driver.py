@@ -130,6 +130,11 @@ def run_mcmc(
 
     if mesh is not None:
         from instruct_tpu.parallel.mesh import chain_sharding, shard_dataset
+        if mesh.devices.size > 1 and spec.use_pallas is not True:
+            # GSPMD cannot auto-partition the fused Pallas custom calls;
+            # under a real multi-device mesh use the XLA path (the kernels
+            # are loci-local and could be shard_map'ed — future work).
+            spec = dataclasses.replace(spec, use_pallas=False)
         data = shard_dataset(mesh, data)
         if n_chains % mesh.devices.shape[0] == 0:
             cs = chain_sharding(mesh)

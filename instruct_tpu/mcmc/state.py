@@ -21,7 +21,9 @@ class McmcState(NamedTuple):
     """One chain's sampler state (cf. UPMCMC, mcmc.h)."""
 
     freq: jnp.ndarray         # f32[K, L, A] — P (allele freqs per pop/locus)
-    z: jnp.ndarray            # i32[N, S] per-copy pop assignments, flat
+    z: jnp.ndarray            # i8[N, S] per-copy pop assignments, flat
+    #   (int8: K < 128 always; z is touched every pass so narrow dtype
+    #   matters as much as for geno)
     #   S = L * ploid (modes 1-5; mode 0 uses zz instead and z is size-0)
     zz: jnp.ndarray           # i32[N] per-individual assignment (mode 0 only)
     q: jnp.ndarray            # f32[N, K] admixture proportions (modes 1-5)
@@ -43,6 +45,10 @@ class McmcState(NamedTuple):
     #   (allotetraploid only — UPMCMC.freq2, mcmc.c:540-543)
     geno: jnp.ndarray = None   # i32[N, L*4] latent ordered genotype, flat
     #   (tetraploid only — UPMCMC.geno, mcmc.c:544)
+    zcounts: jnp.ndarray = None  # f32[K, L, A] allele-pop counts of the
+    #   current z (diploid modes 1-3) — carried so the fused Pallas step
+    #   (kernels/fused_step.py) updates P without re-reading the site
+    #   tensors; the XLA path recounts from z and leaves this untouched
 
 
 def _dt_stat(rates: jnp.ndarray) -> jnp.ndarray:
@@ -85,12 +91,12 @@ def init_state(
 
     if spec.mode == 0 and spec.ploid == 2:
         zz = jax.random.randint(kz, (n,), 0, k)
-        z = jnp.zeros((0, 0), jnp.int32)
+        z = jnp.zeros((0, 0), jnp.int8)
         q = jnp.zeros((0, 0), jnp.float32)
         alpha = jnp.zeros((), jnp.float32)
     else:
         zz = jnp.zeros((0,), jnp.int32)
-        z = jax.random.randint(kz, (n, l * p), 0, k)
+        z = jax.random.randint(kz, (n, l * p), 0, k, dtype=jnp.int8)
         counts = masked_z_counts(z, data, k)
         alpha = jax.random.uniform(kal) * spec.alpha_prior_max
         q = _dirichlet(kq, counts + alpha)
@@ -134,6 +140,11 @@ def init_state(
     else:
         gen = jnp.zeros((0,), jnp.int32)
 
+    zcounts = None
+    if spec.mode in (1, 2, 3):
+        from instruct_tpu.mcmc import updates as up  # runtime: no cycle
+        zcounts = up.allele_pop_counts(spec, data, z, zz)
+
     return McmcState(
         freq=freq, z=z, zz=zz, q=q, alpha=alpha, rates=rates,
         ais_state=ais_state, gen=gen,
@@ -142,6 +153,7 @@ def init_state(
         dpm_values=dpm_values, dpm_counts=dpm_counts, dpm_assign=dpm_assign,
         prior_mu=jnp.asarray(spec.priors.normal_mu0, jnp.float32),
         prior_sigma2=jnp.asarray(spec.priors.normal_sigmasqr0, jnp.float32),
+        zcounts=zcounts,
     )
 
 
@@ -155,7 +167,7 @@ def masked_z_counts(z, data: Dataset, n_pops: int) -> jnp.ndarray:
     each pop (the Q-count loop of update_ZQ, mcmc.c:1176-1194).  z is flat
     [N, S]; the K axis is a static loop of masked reductions (layout:
     never a K-trailing one-hot)."""
-    valid = jnp.repeat(data.site_valid, data.ploid, axis=1)  # [N, S]
+    valid = jnp.tile(data.site_valid, (1, data.ploid))       # [N, S]
     cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
             for kk in range(n_pops)]
     return jnp.stack(cols, axis=1)

@@ -32,6 +32,96 @@ def _cal_lkh(spec: ModelSpec, data: Dataset, state: McmcState) -> McmcState:
     return state._replace(loglik_indv=indv, loglik_total=indv.sum())
 
 
+def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
+    """Fused Pallas step path: modes 1/2/3, diploid, non-DPM, on TPU
+    (kernels/fused_step.py).  `use_pallas=None` auto-enables on TPU;
+    False forces the XLA path; True forces fused (TPU only)."""
+    if spec.use_pallas is False or spec.ploid != 2:
+        return False
+    if spec.mode not in (1, 2, 3):
+        return False
+    if spec.priors.family == PriorFamily.DPM and spec.mode == 3:
+        return False
+    if spec.n_pops * data.max_alleles > 64:
+        return False
+    import jax as _jax
+    on_tpu = _jax.default_backend() == "tpu"
+    return on_tpu if spec.use_pallas is None else bool(spec.use_pallas)
+
+
+def _build_fused_step(spec: ModelSpec, data: Dataset) -> Callable:
+    """One fused MCMC sweep built from the three Pallas sequence-point
+    kernels (kernels/fused_step.py) plus the tiny XLA updates; statistically
+    identical to the XLA step (same conditionals, same update order)."""
+    from instruct_tpu.kernels import fused_step as fs
+
+    k = spec.n_pops
+    a = data.max_alleles
+    structure = spec.type_freq == 1
+    normal = (spec.priors.family == PriorFamily.NORMAL and spec.mode == 3)
+
+    def step(state: McmcState, key: jax.Array) -> McmcState:
+        kp, ks, kg, kz, ka, kq, kacc = jax.random.split(key, 7)
+
+        # P | Z from the counts carried out of the previous zq pass —
+        # no pass over the site tensors needed (update_P, mcmc.c:799-861)
+        freq = up.dirichlet_from_counts(kp, state.zcounts + 1.0,
+                                        data.allele_valid[None])
+        state = state._replace(freq=freq)
+
+        if spec.mode == 2:
+            rates, ais = up.update_s_pop(ks, spec, state.q, state.gen,
+                                         state.rates, state.ais_state)
+            state = state._replace(rates=rates, ais_state=ais)
+        elif spec.mode == 3:
+            pm = state.prior_mu if normal else None
+            ps2 = state.prior_sigma2 if normal else None
+            rates = up.update_s_ind(ks, spec, state.gen, state.rates,
+                                    pm, ps2)
+            state = state._replace(rates=rates)
+            if normal:
+                mu, s2 = up.update_normal_hyper(
+                    jax.random.fold_in(ks, 1), rates, spec.priors)
+                state = state._replace(prior_mu=mu, prior_sigma2=s2)
+
+        seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
+        if spec.mode == 1:
+            z, qqnum, ll_indv, zcounts = fs.zq_mode1_pass(
+                seed, state.q, freq, data.geno, data.site_valid)
+            q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
+            alpha = up.update_alpha(ka, spec, q_new, state.alpha)
+            return state._replace(z=z, q=q_new, alpha=alpha,
+                                  zcounts=zcounts,
+                                  loglik_indv=ll_indv,
+                                  loglik_total=ll_indv.sum())
+
+        # modes 2/3: G proposal, fused zq+gen pass, G accept, lkh pass
+        sbar = (state.q @ state.rates if spec.mode == 2 else state.rates)
+        gen_prop = up.sample_geometric(kg, sbar, spec.gen_cap)
+        wg_pair = jnp.exp2(1.0 - jnp.stack(
+            [state.gen, gen_prop], axis=1).astype(jnp.float32))
+        z, qqnum, ll2, zcounts = fs.zq_gen_pass(
+            seed, state.q, freq, data.geno, data.site_valid, data.hom,
+            state.z, wg_pair, structure=structure)
+        u = jax.random.uniform(kacc, state.gen.shape, minval=1e-30)
+        gen = jnp.where(jnp.log(u) < ll2[:, 1] - ll2[:, 0],
+                        gen_prop, state.gen)
+
+        q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
+        alpha = up.update_alpha(ka, spec, q_new, state.alpha)
+
+        wg_new = jnp.exp2(1.0 - gen.astype(jnp.float32))[:, None]
+        ll_indv = fs.panel_loglik_pass(freq, q_new, data.geno,
+                                       data.site_valid, data.hom, z,
+                                       wg_new, structure=structure)
+        return state._replace(z=z, q=q_new, alpha=alpha, gen=gen,
+                              zcounts=zcounts,
+                              loglik_indv=ll_indv,
+                              loglik_total=ll_indv.sum())
+
+    return step
+
+
 def build_step(spec: ModelSpec, data: Dataset) -> Callable:
     """Return `step(state, key) -> state` for the given mode.
 
@@ -42,12 +132,17 @@ def build_step(spec: ModelSpec, data: Dataset) -> Callable:
       mode 3: P, S_ind|DPM, G, ZQ, alpha, lkh (mcmc.c:334-348)
       mode 4: P, F_pop, ZQ, alpha, lkh        (mcmc.c:263-269)
       mode 5: P, F_ind|DPM, ZQ, alpha, lkh    (mcmc.c:420-434)
+
+    On TPU the diploid admixture modes (1/2/3, non-DPM) compile to the
+    fused Pallas path (see :func:`_build_fused_step`).
     """
     if spec.ploid == 4:
         from instruct_tpu.tetra.engine import build_tetra_step
         return build_tetra_step(spec, data)
     if spec.mode not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"unknown mode {spec.mode}")
+    if _use_fused(spec, data):
+        return _build_fused_step(spec, data)
 
     dpm = (spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5))
     normal = (spec.priors.family == PriorFamily.NORMAL

@@ -128,14 +128,14 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
     use_pallas = (spec.use_pallas is True
                   and jax.default_backend() == "tpu" and not init)
     if init:
-        z = jax.random.randint(kz, (n, s), 0, k)
+        z = jax.random.randint(kz, (n, s), 0, k, dtype=jnp.int8)
     elif use_pallas:
         from instruct_tpu.kernels.zq_pallas import zq_sample_counts
         seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
         z, qqnum = zq_sample_counts(seed, q, freq, data.geno,
                                     data.site_valid, n_pops=k)
         q_new = dirichlet_from_counts(kq, qqnum + alpha)
-        return z, q_new, qqnum
+        return z.astype(jnp.int8), q_new, qqnum
     else:
         terms = [q[:, kk][:, None] * pk
                  for kk, pk in enumerate(lk.per_pop_copy_probs(freq, data))]
@@ -143,11 +143,11 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
         for t in terms[1:]:
             total = total + t
         u = jax.random.uniform(kz, (n, s)) * total
-        z = jnp.zeros((n, s), jnp.int32)
+        z = jnp.zeros((n, s), jnp.int8)
         cum = jnp.zeros_like(total)
         for kk in range(k - 1):
             cum = cum + terms[kk]
-            z = z + (u > cum).astype(jnp.int32)
+            z = z + (u > cum).astype(jnp.int8)
     qqnum = masked_z_counts(z, data, k)
     q_new = dirichlet_from_counts(kq, qqnum + alpha)
     return z, q_new, qqnum

@@ -67,8 +67,8 @@ def flat_site_index(data: Dataset) -> jnp.ndarray:
     every allele copy, S = L * ploid."""
     l, p = data.n_loci, data.ploid
     a = data.allele_valid.shape[1]
-    l_of_s = jnp.repeat(jnp.arange(l, dtype=jnp.int32), p)[None]
-    return l_of_s * a + data.geno
+    l_of_s = jnp.tile(jnp.arange(l, dtype=jnp.int32), p)[None]
+    return l_of_s * a + data.geno.astype(jnp.int32)
 
 
 # Above this many (pop, allele) cells the select formulation stops paying
@@ -77,9 +77,9 @@ _SELECT_MAX_CELLS = 64
 
 
 def _freq_per_site(freq_col, ploid):
-    """[L] per-locus values -> [S] per-copy values (each locus repeated
-    ploid times) — a linear-layout broadcast, NOT a gather."""
-    return jnp.repeat(freq_col, ploid)[None, :]
+    """[L] per-locus values -> [S] per-copy values (the locus row tiled
+    once per copy plane, copy-major layout) — a broadcast, NOT a gather."""
+    return jnp.tile(freq_col, ploid)[None, :]
 
 
 def gather_freq_at_z(freq, data: Dataset, z) -> jnp.ndarray:
@@ -103,7 +103,7 @@ def gather_freq_at_z(freq, data: Dataset, z) -> jnp.ndarray:
                 out = jnp.where(zm & (data.geno == ai), vals, out)
         return out
     lin = flat_site_index(data)                           # [N, S]: l*A + a
-    idx = z * (l * a) + lin                               # into [K*L*A]
+    idx = z.astype(jnp.int32) * (l * a) + lin             # into [K*L*A]
     return jnp.take(freq.reshape(-1), idx, axis=None)
 
 
@@ -141,8 +141,10 @@ def mixture_copy_probs(freq, data: Dataset, q) -> jnp.ndarray:
 
 
 def split_copies(flat, p):
-    """[N, S] -> tuple of per-copy [N, L] views (stride-p slices)."""
-    return tuple(flat[:, c::p] for c in range(p))
+    """[N, S] -> tuple of per-copy [N, L] planes (contiguous slices in the
+    copy-major layout s = c * L + l)."""
+    l = flat.shape[1] // p
+    return tuple(flat[:, c * l:(c + 1) * l] for c in range(p))
 
 
 def site_loglik(

@@ -1,0 +1,117 @@
+"""Fused Pallas step kernels (interpret mode on CPU) vs the XLA path.
+
+Fed the same uniforms, the kernels must reproduce the XLA formulas exactly:
+same z draws, same counts, same log-likelihoods (within f32 tolerance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instruct_tpu.config import ModelSpec
+from instruct_tpu.data.synthetic import synthetic_panel
+from instruct_tpu.kernels import fused_step as fs
+from instruct_tpu.mcmc import updates as up
+from instruct_tpu.mcmc.state import masked_z_counts
+from instruct_tpu.model import likelihood as lk
+
+
+@pytest.fixture(scope="module", params=[(17, 23, 3, 3), (9, 300, 2, 2)])
+def setup(request):
+    n, l, k, a = request.param
+    panel = synthetic_panel(n_indv=n, n_loci=l, n_pops=k, n_alleles=a,
+                            missing_rate=0.15, seed=5)
+    data = panel.data
+    rng = np.random.default_rng(0)
+    freq = rng.dirichlet(np.ones(a), size=(k, l)).astype(np.float32)
+    freq = jnp.asarray(np.where(np.asarray(data.allele_valid)[None],
+                                freq, 0.0))
+    q = jnp.asarray(rng.dirichlet(np.ones(k), size=n), jnp.float32)
+    z = jnp.asarray(rng.integers(0, k, size=data.geno.shape), jnp.int8)
+    gen = jnp.asarray(rng.integers(1, 12, size=n), jnp.int32)
+    gen_prop = jnp.asarray(rng.integers(1, 12, size=n), jnp.int32)
+    return data, freq, q, z, gen, gen_prop, k, a
+
+
+def test_allele_counts_matches_xla(setup):
+    data, freq, q, z, gen, gen_prop, k, a = setup
+    got = np.asarray(fs.allele_counts(z, data.geno, data.site_valid,
+                                      n_pops=k, max_alleles=a,
+                                      interpret=True))
+    spec = ModelSpec(mode=2, n_pops=k)
+    want = np.asarray(up.allele_pop_counts(spec, data, z, None))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _xla_z_draw(u, q, freq, data, k):
+    """The exact inverse-CDF draw of update_zq (updates.py) given u."""
+    terms = [q[:, kk][:, None] * pk
+             for kk, pk in enumerate(lk.per_pop_copy_probs(freq, data))]
+    total = sum(terms[1:], terms[0])
+    uu = u * total
+    z = jnp.zeros(u.shape, jnp.int8)
+    cum = jnp.zeros_like(total)
+    for kk in range(k - 1):
+        cum = cum + terms[kk]
+        z = z + (uu > cum).astype(jnp.int8)
+    return z
+
+
+@pytest.mark.parametrize("type_freq", [0, 1])
+def test_zq_gen_pass_matches_xla(setup, type_freq):
+    data, freq, q, z_old, gen, gen_prop, k, a = setup
+    u = jax.random.uniform(jax.random.key(3), data.geno.shape,
+                           minval=1e-6, maxval=1 - 1e-6)
+    wg_pair = jnp.exp2(1.0 - jnp.stack([gen, gen_prop], 1)
+                       .astype(jnp.float32))
+    z, qqnum, ll2, zcounts = fs.zq_gen_pass(
+        0, q, freq, data.geno, data.site_valid, data.hom, z_old, wg_pair,
+        structure=(type_freq == 1), interpret=True, u=u)
+    want_z = _xla_z_draw(u, q, freq, data, k)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(want_z))
+    spec_c = ModelSpec(mode=2, n_pops=k)
+    np.testing.assert_allclose(
+        np.asarray(zcounts),
+        np.asarray(up.allele_pop_counts(spec_c, data, z, None)), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(qqnum),
+                               np.asarray(masked_z_counts(z, data, k)),
+                               atol=1e-4)
+    spec = ModelSpec(mode=2, n_pops=k, type_freq=type_freq)
+    rates = jnp.zeros((k,), jnp.float32)
+    ll_cur = lk.per_indv_loglik(spec, data, freq, z_old, q, gen, rates)
+    ll_prop = lk.per_indv_loglik(spec, data, freq, z_old, q, gen_prop,
+                                 rates)
+    np.testing.assert_allclose(np.asarray(ll2[:, 0]), np.asarray(ll_cur),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ll2[:, 1]), np.asarray(ll_prop),
+                               rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("type_freq", [0, 1])
+def test_panel_loglik_pass_matches_xla(setup, type_freq):
+    data, freq, q, z, gen, gen_prop, k, a = setup
+    wg = jnp.exp2(1.0 - gen.astype(jnp.float32))[:, None]
+    got = fs.panel_loglik_pass(freq, q, data.geno, data.site_valid,
+                               data.hom, z, wg,
+                               structure=(type_freq == 1), interpret=True)
+    spec = ModelSpec(mode=2, n_pops=k, type_freq=type_freq)
+    rates = jnp.zeros((k,), jnp.float32)
+    want = lk.per_indv_loglik(spec, data, freq, z, q, gen, rates)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_zq_mode1_pass_matches_xla(setup):
+    data, freq, q, z_old, gen, gen_prop, k, a = setup
+    u = jax.random.uniform(jax.random.key(7), data.geno.shape,
+                           minval=1e-6, maxval=1 - 1e-6)
+    z, qqnum, ll, _zc = fs.zq_mode1_pass(0, q, freq, data.geno,
+                                         data.site_valid, interpret=True,
+                                         u=u)
+    want_z = _xla_z_draw(u, q, freq, data, k)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(want_z))
+    spec = ModelSpec(mode=1, n_pops=k)
+    want = lk.per_indv_loglik(spec, data, freq, z, q, None, None)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)

@@ -116,7 +116,7 @@ def test_site_loglik_vs_bruteforce(mode, type_freq):
         np.float32)
 
     got = np.asarray(lk.site_loglik(
-        spec, data, jnp.asarray(freq), jnp.asarray(z.reshape(n, l * p)),
+        spec, data, jnp.asarray(freq), jnp.asarray(z.transpose(0, 2, 1).reshape(n, p * l)),
         jnp.asarray(q), jnp.asarray(gen), jnp.asarray(rates)))
     want = _brute_site_loglik(spec, data, freq, z, q, gen, rates)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)

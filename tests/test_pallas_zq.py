@@ -34,7 +34,7 @@ def test_zq_kernel_counts_consistent(setup):
     assert z.shape == data.geno.shape
     assert ((np.asarray(z) >= 0) & (np.asarray(z) < 3)).all()
     # counts must equal the recount of z over valid sites
-    valid = np.repeat(np.asarray(data.site_valid), 2, axis=1)
+    valid = np.tile(np.asarray(data.site_valid), (1, 2))   # copy-major
     want = np.stack([(valid & (np.asarray(z) == k)).sum(1)
                      for k in range(3)], axis=1)
     np.testing.assert_allclose(np.asarray(qqnum), want, atol=1e-5)
@@ -56,7 +56,7 @@ def test_zq_kernel_conditional_distribution(setup):
     l_idx = np.arange(l)[None, :, None]
     w = np.stack([qn[:, k][:, None, None] * f[k][l_idx, geno3]
                   for k in range(3)], axis=-1)     # [N, L, P, K]
-    want = (w / w.sum(-1, keepdims=True)).reshape(n, l * p, 3)
+    want = (w / w.sum(-1, keepdims=True)).transpose(0, 2, 1, 3).reshape(n, p * l, 3)
     for k in range(3):
         emp_k = (emp == k).mean(0)
         np.testing.assert_allclose(emp_k, want[..., k], atol=0.12)
@@ -73,5 +73,5 @@ def test_zq_kernel_padding_edges():
                                 n_pops=2, interpret=True,
                                 u=_u(7, data.geno.shape))
     assert z.shape == (5, 14)
-    valid = np.repeat(np.asarray(data.site_valid), 2, axis=1)
+    valid = np.tile(np.asarray(data.site_valid), (1, 2))   # copy-major
     assert np.asarray(qqnum).sum() == valid.sum()

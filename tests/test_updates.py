@@ -25,7 +25,7 @@ def test_allele_pop_counts_bruteforce(panel):
     n, l, p = data.geno3.shape
     z = rng.integers(0, 2, size=(n, l, p))
     got = np.asarray(up.allele_pop_counts(
-        spec, data, jnp.asarray(z.reshape(n, l * p)), None))
+        spec, data, jnp.asarray(z.transpose(0, 2, 1).reshape(n, p * l)), None))
 
     geno = data.geno3
     valid = np.asarray(data.site_valid)
@@ -72,7 +72,8 @@ def test_update_zq_conditional(panel):
     zs = jax.vmap(
         lambda k: up.update_zq(k, spec, data, freq, q, alpha)[0]
     )(jax.random.split(jax.random.key(1), 300))
-    emp_p1 = np.asarray(zs == 1).mean(0).reshape(n, l, p)
+    emp_p1 = (np.asarray(zs == 1).mean(0).reshape(n, p, l)
+              .transpose(0, 2, 1))
     geno = data.geno3
     f = np.asarray(freq)
     qn = np.asarray(q)
@@ -88,7 +89,7 @@ def test_masked_z_counts(panel):
     rng = np.random.default_rng(3)
     n, l, p = data.geno3.shape
     z = rng.integers(0, 2, size=(n, l, p))
-    got = np.asarray(masked_z_counts(jnp.asarray(z.reshape(n, l * p)),
+    got = np.asarray(masked_z_counts(jnp.asarray(z.transpose(0, 2, 1).reshape(n, p * l)),
                                      data, 2))
     valid = np.asarray(data.site_valid)
     want = np.zeros((n, 2))
