@@ -57,7 +57,7 @@ def main():
     from instruct_tpu.data.synthetic import synthetic_panel
     from instruct_tpu.diagnostics import effective_sample_size
     from instruct_tpu.mcmc.state import init_state
-    from instruct_tpu.mcmc.step import build_step
+    from instruct_tpu.mcmc.step import build_step_parts
 
     if args.quick:
         n, l, k = 200, 1000, 3
@@ -70,12 +70,16 @@ def main():
                             selfing_rates=np.array([0.1, 0.4, 0.8]),
                             admixture_alpha=0.1, seed=17)
     spec = ModelSpec(mode=2, n_pops=k)
-    step = build_step(spec, panel.data)
+    step_core, add_loglik = build_step_parts(spec, panel.data)
     c = args.chains
+    thinning = 10      # production default (InStruct.c:33): cal_lkh runs
+    #                    on stored steps only, exactly as run_mcmc does
 
     def chain_block(state, key_steps):
         def body(st, i):
-            st = step(st, jax.random.fold_in(key_steps, i))
+            st = step_core(st, jax.random.fold_in(key_steps, i))
+            st = jax.lax.cond((i + 1) % thinning == 0, add_loglik,
+                              lambda s: s, st)
             return st, st.rates
         return jax.lax.scan(body, state,
                             jax.numpy.arange(t_measure, dtype=jax.numpy.int32))

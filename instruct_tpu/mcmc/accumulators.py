@@ -115,10 +115,11 @@ def accum_update(accum: ChainAccum, stats: TrackedStats, store: jnp.ndarray,
     mean_sq = jax.tree.map(upd_sq, accum.mean_sq, stats)
 
     ckrep = accum.convg_ld.shape[0]
-    slot = jnp.minimum(accum.count, ckrep - 1)
     write = (store > 0) & (accum.count < ckrep)
-    convg = accum.convg_ld.at[slot].set(
-        jnp.where(write, stats.total_ll, accum.convg_ld[slot]))
+    # masked vector write, not a scatter: a batched dynamic-index scatter
+    # inside the scan serializes on TPU (~5 ms/step at ckrep=500)
+    hit = (jnp.arange(ckrep) == accum.count) & write
+    convg = jnp.where(hit, stats.total_ll, accum.convg_ld)
 
     latch = (new_count == check_at) & (accum.count != new_count)
     empty = accum.empty_cluster | (latch & empty_flag)

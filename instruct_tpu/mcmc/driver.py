@@ -63,7 +63,8 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
     """Returns (init_chain, run_segment): per-chain initialisation and a
     scan over an arbitrary index window [start, start+len) — the unit of
     both the single-shot path and the checkpointed segmented path."""
-    step = build_step(spec, data)
+    from instruct_tpu.mcmc.step import build_step_parts
+    step_core, add_loglik = build_step_parts(spec, data)
     check_at = (-1 if (spec.mode == 0 and spec.ploid == 2)
                 else sched.nstep_check_empty_cluster)
 
@@ -74,11 +75,19 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
         return state, accum, k_steps
 
     def run_segment(state, accum, k_steps, idxs):
+        last_idx = idxs[-1]
+
         def body(carry, step_idx):
             state, accum = carry
-            state = step(state, jax.random.fold_in(k_steps, step_idx))
+            state = step_core(state, jax.random.fold_in(k_steps, step_idx))
             stored = ((step_idx >= sched.burnin)
                       & ((step_idx + 1 - sched.burnin) % sched.thinning == 0))
+            # cal_lkh only when the draw is consumed (stored) or reported
+            # (segment end).  The predicate depends only on the unbatched
+            # step index, so under the chains vmap this stays a real branch
+            # rather than select-both.
+            state = jax.lax.cond(stored | (step_idx == last_idx),
+                                 add_loglik, lambda s: s, state)
             stats = extract_stats(spec, state, track_freq)
             empty = up.empty_cluster_flag(stats.q)
             accum = accum_update(accum, stats, stored, empty, check_at)

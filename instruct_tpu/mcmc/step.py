@@ -49,10 +49,11 @@ def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
     return on_tpu if spec.use_pallas is None else bool(spec.use_pallas)
 
 
-def _build_fused_step(spec: ModelSpec, data: Dataset) -> Callable:
-    """One fused MCMC sweep built from the three Pallas sequence-point
-    kernels (kernels/fused_step.py) plus the tiny XLA updates; statistically
-    identical to the XLA step (same conditionals, same update order)."""
+def _build_fused_parts(spec: ModelSpec, data: Dataset):
+    """Fused-path (step_core, add_loglik): the sweep without the final
+    cal_lkh pass, plus the pass as a separate function so the driver can
+    run it only on stored/reported steps (the log-lik is a pure observable
+    — no update conditions on it — so skipping it off-sample is exact)."""
     from instruct_tpu.kernels import fused_step as fs
 
     k = spec.n_pops
@@ -109,21 +110,31 @@ def _build_fused_step(spec: ModelSpec, data: Dataset) -> Callable:
 
         q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
         alpha = up.update_alpha(ka, spec, q_new, state.alpha)
-
-        wg_new = jnp.exp2(1.0 - gen.astype(jnp.float32))[:, None]
-        ll_indv = fs.panel_loglik_pass(freq, q_new, data.geno,
-                                       data.site_valid, data.hom, z,
-                                       wg_new, structure=structure)
         return state._replace(z=z, q=q_new, alpha=alpha, gen=gen,
-                              zcounts=zcounts,
-                              loglik_indv=ll_indv,
+                              zcounts=zcounts)
+
+    def add_loglik(state: McmcState) -> McmcState:
+        if spec.mode == 1:
+            return state               # ll came free with the zq pass
+        wg = jnp.exp2(1.0 - state.gen.astype(jnp.float32))[:, None]
+        ll_indv = fs.panel_loglik_pass(state.freq, state.q, data.geno,
+                                       data.site_valid, data.hom, state.z,
+                                       wg, structure=structure)
+        return state._replace(loglik_indv=ll_indv,
                               loglik_total=ll_indv.sum())
 
-    return step
+    return step, add_loglik
 
 
-def build_step(spec: ModelSpec, data: Dataset) -> Callable:
-    """Return `step(state, key) -> state` for the given mode.
+def build_step_parts(spec: ModelSpec, data: Dataset):
+    """Return `(step_core, add_loglik)` for the given mode.
+
+    ``step_core(state, key)`` runs the full parameter sweep;
+    ``add_loglik(state)`` fills `loglik_indv`/`loglik_total` (cal_lkh,
+    mcmc.c:1916-1942).  The split lets the chain driver evaluate the
+    log-likelihood only on stored/reported steps — it is an observable,
+    not an input to any update, so this is exact, and at the default
+    thinning of 10 it removes ~90% of the cal_lkh passes.
 
     Update order per mode matches the reference loops exactly:
       mode 0: P, Z, lkh                       (mcmc.c:111-115)
@@ -134,15 +145,15 @@ def build_step(spec: ModelSpec, data: Dataset) -> Callable:
       mode 5: P, F_ind|DPM, ZQ, alpha, lkh    (mcmc.c:420-434)
 
     On TPU the diploid admixture modes (1/2/3, non-DPM) compile to the
-    fused Pallas path (see :func:`_build_fused_step`).
+    fused Pallas path (see :func:`_build_fused_parts`).
     """
     if spec.ploid == 4:
         from instruct_tpu.tetra.engine import build_tetra_step
-        return build_tetra_step(spec, data)
+        return build_tetra_step(spec, data), (lambda s: s)
     if spec.mode not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"unknown mode {spec.mode}")
     if _use_fused(spec, data):
-        return _build_fused_step(spec, data)
+        return _build_fused_parts(spec, data)
 
     dpm = (spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5))
     normal = (spec.priors.family == PriorFamily.NORMAL
@@ -159,7 +170,7 @@ def build_step(spec: ModelSpec, data: Dataset) -> Callable:
 
         if spec.mode == 0:
             zz = up.update_z_noadmix(kz, data, freq)
-            return _cal_lkh(spec, data, state._replace(zz=zz))
+            return state._replace(zz=zz)
 
         if spec.mode == 2:
             rates, ais = up.update_s_pop(ks, spec, state.q, state.gen,
@@ -205,8 +216,18 @@ def build_step(spec: ModelSpec, data: Dataset) -> Callable:
         state = state._replace(z=z, q=q)
 
         alpha = up.update_alpha(ka, spec, q, state.alpha)
-        state = state._replace(alpha=alpha)
+        return state._replace(alpha=alpha)
 
-        return _cal_lkh(spec, data, state)
+    return step, (lambda s: _cal_lkh(spec, data, s))
+
+
+def build_step(spec: ModelSpec, data: Dataset) -> Callable:
+    """`step(state, key) -> state` with the log-likelihood always filled —
+    the composition of :func:`build_step_parts`.  Use the parts directly
+    (as the chain driver does) to skip cal_lkh on unsampled steps."""
+    core, add_ll = build_step_parts(spec, data)
+
+    def step(state: McmcState, key: jax.Array) -> McmcState:
+        return add_ll(core(state, key))
 
     return step
