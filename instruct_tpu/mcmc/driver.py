@@ -219,10 +219,21 @@ def run_mcmc(
                 _report(start, states, accums)
         return states, accums
 
+    def unhealthy(state, accum):
+        """Per-chain failure flags: the reference's empty-cluster guard
+        (mcmc.c:1944-1974) plus numeric health — a chain whose stored
+        log-lik moments or final state went NaN/Inf is discarded and rerun
+        with a fresh key, the chain-level recovery the reference lacks
+        (survey §5, failure detection)."""
+        empty = np.asarray(accum.empty_cluster)
+        bad_ll = ~np.isfinite(np.asarray(accum.mean.total_ll))
+        bad_state = ~np.isfinite(np.asarray(state.loglik_total))
+        return empty | bad_ll | bad_state
+
     state, accum = full_run(chain_keys)
 
     retries = 0
-    flags = np.asarray(accum.empty_cluster)
+    flags = unhealthy(state, accum)
     while flags.any() and retries < max_retries and checkpoint_dir is None:
         retries += 1
         fresh = jax.vmap(
@@ -232,6 +243,6 @@ def run_mcmc(
         chain_keys = jnp.where(jnp.asarray(flags)[:, None], fresh,
                                chain_keys)
         state, accum = full_run(chain_keys)
-        flags = np.asarray(accum.empty_cluster)
+        flags = unhealthy(state, accum)
 
     return RunResult(accum=accum, final_state=state, n_retries=retries)
