@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", dest="mode", type=int, default=1)
     p.add_argument("-h2", "--alpha-dpm", dest="alpha_dpm", type=float,
                    default=10.0, help="DPM concentration (reference -h)")
+    p.add_argument("--dp-trunc", dest="dp_truncation", type=int, default=0,
+                   help="0 = exact sequential CRP sweep; T>0 = blocked "
+                        "truncated-stick-breaking DP with T components "
+                        "(parallel over individuals, for large N)")
     p.add_argument("-e", dest="back_refl", type=int, default=1)
     p.add_argument("-y", dest="type_freq", type=int, default=1)
     p.add_argument("-j", dest="nstep_check", type=int, default=20)
@@ -61,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--sampler", default="gibbs",
-                   choices=["gibbs", "hmc", "svi", "smc"],
+                   choices=["gibbs", "hmc", "nuts", "svi", "smc"],
                    help="inference engine (gibbs = reference-family MCMC)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=100_000)
@@ -101,7 +105,8 @@ def main(argv=None) -> int:
     spec = ModelSpec(
         mode=args.mode, ploid=args.ploid, n_pops=args.popnum,
         type_freq=args.type_freq, back_refl=args.back_refl,
-        priors=Priors(family=family, alpha_dpm=args.alpha_dpm),
+        priors=Priors(family=family, alpha_dpm=args.alpha_dpm,
+                      dp_truncation=args.dp_truncation),
         autopoly=bool(args.autopoly))
     sched = Schedule(
         n_iter=args.update, burnin=args.burnin, thinning=args.thinning,

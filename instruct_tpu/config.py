@@ -59,6 +59,9 @@ class Priors:
 
     family: PriorFamily = PriorFamily.UNIFORM
     alpha_dpm: float = 10.0
+    dp_truncation: int = 0             # 0 = exact sequential CRP sweep;
+    #   T > 0 = blocked truncated-stick-breaking sampler with T components
+    #   (parallel over individuals — the large-N path, mcmc/dpm.py)
     normal_mu0: float = 0.5
     normal_kappa0: float = 1.0
     normal_nu0: float = 3.0

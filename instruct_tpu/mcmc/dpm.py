@@ -200,20 +200,123 @@ def crp_sweep_inbreeding(key, table: DpmTable, ll_grid,
     return DpmTable(*carry)
 
 
+# ---------------------------------------------------------------------------
+# Blocked sampler: truncated stick-breaking representation
+# ---------------------------------------------------------------------------
+#
+# The CRP sweep above is exact but inherently sequential in N (survey §3.2
+# "the one truly sequential-by-construction kernel").  For large panels the
+# framework offers the standard parallel alternative: the truncated
+# stick-breaking representation of the DP (Ishwaran & James 2001) with a
+# static truncation level T.  One sweep is three fully vectorized draws —
+#   sticks  v_t ~ Beta(1 + n_t, alpha + sum_{s>t} n_s)
+#   values  theta_t | {j: c_j = t}  (conjugate Beta for the geometric
+#           likelihood of mode 3; griddy inverse-CDF on the mode-5 grid)
+#   seats   c_j ~ Cat_t( w_t * L_j(theta_t) )   — parallel over individuals
+# — no scan over N, so the update maps onto the chip like every other
+# kernel.  Exactness is up to the truncation (error decays as
+# (n/(n+1))^{T-1}, negligible for T ≳ 30 at alpha ~ 10).
+
+
+def _stick_log_weights(key, counts_t, alpha):
+    """v_t ~ Beta(1 + n_t, alpha + tail_t); log w via cumulated sticks."""
+    t = counts_t.shape[0]
+    tail = jnp.cumsum(counts_t[::-1])[::-1] - counts_t
+    v = jax.random.beta(key, 1.0 + counts_t, alpha + tail)
+    v = v.at[t - 1].set(1.0)
+    log1mv = _slog(1.0 - v)
+    prefix = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(log1mv)[:-1]])
+    return _slog(v) + prefix
+
+
+def _seat_counts(assign, t_max):
+    onehot = (assign[:, None] ==
+              jnp.arange(t_max)[None, :]).astype(jnp.float32)
+    return onehot.sum(axis=0), onehot
+
+
+def stick_sweep_selfing(key, table: DpmTable, gen, alpha: float,
+                        t_max: int) -> DpmTable:
+    """One blocked sweep for mode 3 under truncation T=t_max."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    assign = jnp.clip(table.assign, 0, t_max - 1)
+    counts_t, onehot = _seat_counts(assign, t_max)
+    logw = _stick_log_weights(k1, counts_t, alpha)
+
+    # theta_t | members ~ Beta(1 + sum(g_j - 1), 1 + n_t)  (base U(0,1),
+    # likelihood prod theta^{g_j-1}(1-theta) — dgeom, mcmc.c:1596-1604)
+    g1 = (gen - 1).astype(jnp.float32)
+    sum_g1 = onehot.T @ g1                                  # [T]
+    theta = jax.random.beta(k2, 1.0 + sum_g1, 1.0 + counts_t)
+    theta = jnp.clip(theta, 1e-6, 1.0 - 1e-6)
+
+    # parallel reseat: logits [N, T]
+    logits = (logw[None, :] + g1[:, None] * _slog(theta)[None, :]
+              + _slog(1.0 - theta)[None, :])
+    assign = jax.random.categorical(k3, logits, axis=-1).astype(jnp.int32)
+
+    n = gen.shape[0]
+    counts_new, _ = _seat_counts(assign, t_max)
+    values = jnp.zeros((n,), jnp.float32).at[:t_max].set(theta)
+    counts = jnp.zeros((n,), jnp.int32).at[:t_max].set(
+        counts_new.astype(jnp.int32))
+    return DpmTable(values, counts, assign)
+
+
+def stick_sweep_inbreeding(key, table: DpmTable, ll_grid, alpha: float,
+                           t_max: int) -> DpmTable:
+    """One blocked sweep for mode 5: table values live on the grid, the
+    per-table posterior over the grid is a segment-sum of members'
+    log-likelihood curves (one [T, M] matmul), values are griddy draws."""
+    n, m = ll_grid.shape
+    grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    k1, k2, k3 = jax.random.split(key, 3)
+    assign = jnp.clip(table.assign, 0, t_max - 1)
+    counts_t, onehot = _seat_counts(assign, t_max)
+    logw = _stick_log_weights(k1, counts_t, alpha)
+
+    table_ll = onehot.T @ ll_grid                           # [T, M]
+    theta_idx = jax.random.categorical(k2, table_ll, axis=-1)
+    theta = grid[theta_idx]
+
+    logits = logw[None, :] + ll_grid[:, theta_idx]          # [N, T]
+    assign = jax.random.categorical(k3, logits, axis=-1).astype(jnp.int32)
+
+    counts_new, _ = _seat_counts(assign, t_max)
+    values = jnp.zeros((n,), jnp.float32).at[:t_max].set(theta)
+    counts = jnp.zeros((n,), jnp.int32).at[:t_max].set(
+        counts_new.astype(jnp.int32))
+    return DpmTable(values, counts, assign)
+
+
 def build_dpm_update(spec: ModelSpec, data: Dataset):
-    """Return `dpm_update(key, state) -> state` plugging the CRP sweep into
+    """Return `dpm_update(key, state) -> state` plugging the DP sweep into
     the mode-3/5 step (mcmc.c:337-342, 423-428): after the sweep, each
-    individual's rate is its table's value."""
+    individual's rate is its table's value.
+
+    `spec.priors.dp_truncation == 0` selects the exact sequential CRP
+    sweep; a positive value T selects the blocked truncated-stick-breaking
+    sampler with T components (parallel over individuals — the large-N
+    path)."""
     alpha = spec.priors.alpha_dpm
+    t_max = spec.priors.dp_truncation
 
     def dpm_update(key, state):
         table = DpmTable(state.dpm_values, state.dpm_counts,
                          state.dpm_assign)
         if spec.mode == 3:
-            table = crp_sweep_selfing(key, table, state.gen, alpha)
+            if t_max > 0:
+                table = stick_sweep_selfing(key, table, state.gen, alpha,
+                                            t_max)
+            else:
+                table = crp_sweep_selfing(key, table, state.gen, alpha)
         else:
             ll_grid = f_loglik_grid(spec, data, state.freq, state.z)
-            table = crp_sweep_inbreeding(key, table, ll_grid, alpha)
+            if t_max > 0:
+                table = stick_sweep_inbreeding(key, table, ll_grid, alpha,
+                                               t_max)
+            else:
+                table = crp_sweep_inbreeding(key, table, ll_grid, alpha)
         rates = table.values[table.assign]
         return state._replace(rates=rates, dpm_values=table.values,
                               dpm_counts=table.counts,

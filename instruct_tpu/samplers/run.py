@@ -58,6 +58,27 @@ def run_sampler(
                              q.var(0),
                              {"accept_rate": np.asarray(accept).tolist()})
 
+    if method == "nuts":
+        from instruct_tpu.samplers.nuts import NutsConfig, run_nuts
+        cfg = NutsConfig(n_warmup=min(500, max(50, sched.burnin)),
+                         n_samples=min(1000, max(100, sched.n_stored)),
+                         max_depth=8, init_step=0.02)
+
+        def one_chain(k):
+            init = model.init(k)
+            return run_nuts(model.potential, init,
+                            jax.random.fold_in(k, 1), cfg,
+                            collect=lambda p: (model.selfing_rates(p),
+                                               model.admixture(p)))
+
+        keys = jax.random.split(key, n_chains)
+        (s_draws, q_draws), accept, _ = jax.vmap(one_chain)(keys)
+        s = np.asarray(s_draws).reshape(-1, s_draws.shape[-1])
+        q = np.asarray(q_draws).reshape(-1, *q_draws.shape[2:])
+        return SamplerResult("nuts", s.mean(0), s.var(0), q.mean(0),
+                             q.var(0),
+                             {"accept_rate": np.asarray(accept).tolist()})
+
     if method == "svi":
         cfg = SviConfig(n_steps=min(2000, max(300, sched.n_iter)),
                         learning_rate=0.02)

@@ -106,3 +106,58 @@ def test_normal_prior_runs_end_to_end(mode):
                      nstep_check_empty_cluster=5)
     res = run_mcmc(panel.data, spec, sched, jax.random.key(1))
     assert np.isfinite(np.asarray(res.accum.mean.total_ll)).all()
+
+
+def test_stick_sweep_selfing_clusters_by_generation():
+    # Blocked (truncated stick-breaking) sampler: same recovery as the CRP
+    # sweep — high-G individuals on high-S tables — with fully parallel
+    # reseating.
+    n = 60
+    gen = jnp.asarray([2] * 30 + [40] * 30)
+    t = dpm.init_dpm(jax.random.key(5), 1.0, n)
+    for i in range(30):
+        t = dpm.stick_sweep_selfing(jax.random.key(200 + i), t, gen, 1.0,
+                                    t_max=16)
+    rates = np.asarray(t.values)[np.asarray(t.assign)]
+    assert rates[30:].mean() - rates[:30].mean() > 0.3
+    counts = np.asarray(t.counts)
+    assert counts.sum() == n
+    occ = np.bincount(np.asarray(t.assign), minlength=n)
+    np.testing.assert_array_equal(occ, counts)
+
+
+def test_stick_vs_crp_posterior_agreement():
+    # Both DP samplers target (nearly) the same posterior: the mean rate of
+    # the high-G block must agree across samplers within MC error.
+    n = 60
+    gen = jnp.asarray([3] * 30 + [25] * 30)
+
+    def run(sweep, seed0):
+        t = dpm.init_dpm(jax.random.key(9), 2.0, n)
+        draws = []
+        for i in range(60):
+            t = sweep(jax.random.key(seed0 + i), t)
+            if i >= 20:
+                draws.append(np.asarray(t.values)[np.asarray(t.assign)])
+        return np.stack(draws).mean(0)
+
+    crp = run(lambda k, t: dpm.crp_sweep_selfing(k, t, gen, 2.0), 1000)
+    stk = run(lambda k, t: dpm.stick_sweep_selfing(k, t, gen, 2.0,
+                                                   t_max=24), 2000)
+    np.testing.assert_allclose(stk[30:].mean(), crp[30:].mean(), atol=0.08)
+    np.testing.assert_allclose(stk[:30].mean(), crp[:30].mean(), atol=0.08)
+
+
+def test_run_mcmc_mode3_dpm_truncated():
+    panel = synthetic_panel(n_indv=40, n_loci=60, n_pops=2, seed=6,
+                            selfing_rates=np.array([0.2, 0.7]))
+    spec = ModelSpec(mode=3, n_pops=2,
+                     priors=Priors(family=PriorFamily.DPM, alpha_dpm=2.0,
+                                   dp_truncation=16))
+    sched = Schedule(n_iter=300, burnin=150, thinning=5, n_chains=2,
+                     ckrep=10, nstep_check_empty_cluster=10)
+    res = run_mcmc(panel.data, spec, sched, jax.random.key(0))
+    rates = np.asarray(res.posterior_mean.rates)
+    assert rates.shape == (2, 40)
+    assert np.isfinite(np.asarray(res.posterior_mean.total_ll)).all()
+    assert ((rates >= 0) & (rates <= 1)).all()
