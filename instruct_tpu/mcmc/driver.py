@@ -62,19 +62,31 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
                   track_freq: bool):
     """Returns (init_chain, run_segment): per-chain initialisation and a
     scan over an arbitrary index window [start, start+len) — the unit of
-    both the single-shot path and the checkpointed segmented path."""
+    both the single-shot path and the checkpointed segmented path.
+
+    Both functions take the panel as an explicit trailing argument so the
+    jitted programs receive it as a runtime parameter — closing over it
+    would embed the genotype tensors as program CONSTANTS, which caps the
+    panel size at the compiler's request limit (a 10k x 50k panel is ~1 GB)
+    and bloats every compile.  The tetraploid builder precomputes host-side
+    combinatoric tables from concrete arrays, so it keeps the closure."""
     from instruct_tpu.mcmc.step import build_step_parts
-    step_core, add_loglik = build_step_parts(spec, data)
     check_at = (-1 if (spec.mode == 0 and spec.ploid == 2)
                 else sched.nstep_check_empty_cluster)
+    tetra = spec.ploid == 4
+    if tetra:
+        tetra_parts = build_step_parts(spec, data)
 
-    def init_chain(key: jax.Array, init_rates):
+    def init_chain(key: jax.Array, init_rates, rt_data: Dataset):
         k_init, k_steps = jax.random.split(key)
-        state = init_state(k_init, spec, data, init_rates)
+        state = init_state(k_init, spec,
+                           data if tetra else rt_data, init_rates)
         accum = init_accum(spec, sched, data, track_freq)
         return state, accum, k_steps
 
-    def run_segment(state, accum, k_steps, idxs):
+    def run_segment(state, accum, k_steps, idxs, rt_data: Dataset):
+        step_core, add_loglik = (tetra_parts if tetra
+                                 else build_step_parts(spec, rt_data))
         last_idx = idxs[-1]
 
         def body(carry, step_idx):
@@ -137,35 +149,71 @@ def run_mcmc(
     chain_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
         jnp.arange(n_chains))
 
+    chain_shardmap = False
     if mesh is not None:
-        from instruct_tpu.parallel.mesh import chain_sharding, shard_dataset
-        if mesh.devices.size > 1 and spec.use_pallas is not True:
+        from instruct_tpu.parallel.mesh import (CHAIN_AXIS, DATA_AXIS,
+                                                chain_sharding,
+                                                shard_dataset)
+        n_cs = mesh.shape.get(CHAIN_AXIS, 1)
+        n_ds = mesh.shape.get(DATA_AXIS, 1)
+        # Pure chain parallelism (data axis trivial): run the step under an
+        # explicit shard_map over "chain" — each device executes whole
+        # chains locally, so the fused Pallas kernels work multi-device and
+        # there is ZERO communication in the step loop.
+        chain_shardmap = (n_ds == 1 and n_cs > 1 and n_chains % n_cs == 0)
+        if (mesh.devices.size > 1 and not chain_shardmap
+                and spec.use_pallas is not True):
             # GSPMD cannot auto-partition the fused Pallas custom calls;
-            # under a real multi-device mesh use the XLA path (the kernels
-            # are loci-local and could be shard_map'ed — future work).
+            # under a loci-sharded mesh use the XLA path (the kernels are
+            # loci-local and could be shard_map'ed too — future work).
             spec = dataclasses.replace(spec, use_pallas=False)
-        data = shard_dataset(mesh, data)
-        if n_chains % mesh.devices.shape[0] == 0:
+        if not chain_shardmap:
+            data = shard_dataset(mesh, data)
+        # chain_shardmap: the panel is a replicated closure constant of the
+        # shard_map body — explicit NamedShardings would clash with the
+        # Manual mesh context inside the region.
+        if n_chains % mesh.devices.shape[0] == 0 or chain_shardmap:
             cs = chain_sharding(mesh)
             chain_keys = jax.device_put(chain_keys, cs)
             init_rates = jax.device_put(init_rates, cs)
 
     init_chain, run_segment = _chain_runner(spec, sched, data, track_freq)
 
-    def per_chain_init(key, rates_row):
+    def per_chain_init(key, rates_row, rt_data):
         rates0 = None if none_rates else rates_row[:r]
-        return init_chain(key, rates0)
+        return init_chain(key, rates0, rt_data)
 
-    vinit = jax.jit(jax.vmap(per_chain_init))
-    vseg = jax.jit(jax.vmap(run_segment, in_axes=(0, 0, 0, None)))
+    vinit = jax.jit(jax.vmap(per_chain_init, in_axes=(0, 0, None)))
+    if chain_shardmap:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        cp = P(CHAIN_AXIS)
+
+        def _local_seg(states, accums, kdata, idxs, rt_data):
+            kstep = jax.random.wrap_key_data(kdata)
+            return jax.vmap(run_segment, in_axes=(0, 0, 0, None, None))(
+                states, accums, kstep, idxs, rt_data)
+
+        _shmapped = shard_map(_local_seg, mesh=mesh,
+                              in_specs=(cp, cp, cp, P(), P()),
+                              out_specs=(cp, cp), check_rep=False)
+
+        def _vseg(states, accums, kstep, idxs, rt_data):
+            return _shmapped(states, accums, jax.random.key_data(kstep),
+                             idxs, rt_data)
+
+        vseg = jax.jit(_vseg)
+    else:
+        vseg = jax.jit(jax.vmap(run_segment,
+                                in_axes=(0, 0, 0, None, None)))
 
     segmented = checkpoint_dir is not None or progress_every is not None
 
     def full_run(keys):
-        states, accums, kstep = vinit(keys, init_rates)
+        states, accums, kstep = vinit(keys, init_rates, data)
         if not segmented:
             idxs = jnp.arange(sched.n_iter, dtype=jnp.int32)
-            states, accums = vseg(states, accums, kstep, idxs)
+            states, accums = vseg(states, accums, kstep, idxs, data)
             return states, accums
         return _segmented(states, accums, kstep)
 
@@ -209,7 +257,7 @@ def run_mcmc(
         while start < sched.n_iter:
             seg = min(seg_len, sched.n_iter - start)
             idxs = jnp.arange(start, start + seg, dtype=jnp.int32)
-            states, accums = vseg(states, accums, kstep, idxs)
+            states, accums = vseg(states, accums, kstep, idxs, data)
             start += seg
             jax.block_until_ready(accums.count)
             if checkpoint_dir is not None:

@@ -49,3 +49,25 @@ def test_entry_compiles():
     out = jax.jit(fn).lower(*args).compile()
     res = out(*args)
     assert np.isfinite(float(res.loglik_total))
+
+
+@needs_8
+def test_chain_shardmap_matches_unsharded():
+    # Pure chain-parallel mesh (data axis = 1) takes the explicit
+    # shard_map path (each device runs whole chains locally) and must
+    # reproduce the single-device trajectories bit-for-bit.
+    panel = synthetic_panel(n_indv=10, n_loci=12, n_pops=2, seed=4)
+    spec = ModelSpec(mode=2, n_pops=2)
+    sched = Schedule(n_iter=24, burnin=8, thinning=2, n_chains=8, ckrep=4,
+                     nstep_check_empty_cluster=2)
+    key = jax.random.key(7)
+    ref = run_mcmc(panel.data, spec, sched, key)
+    got = run_mcmc(panel.data, spec, sched, key, mesh=make_mesh(8, 1))
+    np.testing.assert_allclose(np.asarray(got.accum.mean.total_ll),
+                               np.asarray(ref.accum.mean.total_ll),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.accum.mean.rates),
+                               np.asarray(ref.accum.mean.rates), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.final_state.loglik_total),
+                               np.asarray(ref.final_state.loglik_total),
+                               rtol=1e-5)
