@@ -72,8 +72,10 @@ def flat_site_index(data: Dataset) -> jnp.ndarray:
 
 
 # Above this many (pop, allele) cells the select formulation stops paying
-# off and we fall back to one big gather.
-_SELECT_MAX_CELLS = 64
+# off and we fall back to one big gather.  Measured on v5e: a gather with
+# 1e6 arbitrary indices costs ~5-8 ms while a fused 256-way select chain is
+# one memory pass — selects win well past 256 cells.
+_SELECT_MAX_CELLS = 256
 
 
 def _freq_per_site(freq_col, ploid):

@@ -96,9 +96,11 @@ def _split4(flat):
     return tuple(flat[:, m::4] for m in range(4))
 
 # Above this many table cells the select formulation stops paying off and we
-# fall back to a gather (TPU gathers with ~1e7 arbitrary indices measured
-# ~40x slower than linear select passes; cf. likelihood._SELECT_MAX_CELLS).
-_SELECT_MAX_CELLS = 64
+# fall back to a gather (TPU gathers measured ~5-8 ms per 1e6 arbitrary
+# indices on v5e, vs ~4 us per fused select pass; even a 256-way select
+# chain — one memory pass, 256 VPU compares — beats one gather by ~5x;
+# cf. likelihood._SELECT_MAX_CELLS).
+_SELECT_MAX_CELLS = 256
 
 
 def _select_or_gather(table_lv, idx):
@@ -308,8 +310,12 @@ def _candidate_slots(tables: TetraTables, data: Dataset, c: int):
     dist = _split4(data.distinct)                            # 4 x [N, L]
     slots = []
     for m in range(4):
-        pat_cm = jnp.asarray(tables.patterns_np[:, c, m])    # [5]
-        sel = pat_cm[cnt]                                    # [N, L] in 0..3
+        pat_cm = tables.patterns_np[:, c, m]                 # host [5]
+        # scalar selects over the 4 cnt values (a [N, L] gather into the
+        # tiny table costs ~1000x more than these fused compares)
+        sel = jnp.full_like(cnt, int(pat_cm[1]))
+        for v in (2, 3, 4):
+            sel = jnp.where(cnt == v, int(pat_cm[v]), sel)
         val = jnp.zeros_like(sel)
         for j in range(4):
             val = jnp.where(sel == j, dist[j], val)
@@ -353,7 +359,12 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
                 val = jnp.where(slots[m] == ai, mix[ai], val)
             w_mix = w_mix + _slog(val)
         w = jnp.where(same_z, w_same, w_mix)
-        valid_c = c < jnp.asarray(tables.n_patterns_np)[cnt]
+        # scalar selects instead of a tiny-table gather (see _candidate_slots)
+        npat = tables.n_patterns_np
+        nc = jnp.full_like(cnt, int(npat[1]))
+        for v in (2, 3, 4):
+            nc = jnp.where(cnt == v, int(npat[v]), nc)
+        valid_c = c < nc
         weights.append(jnp.where(valid_c, w, _NEG))
 
     wstack = jnp.stack(weights, axis=1)                      # [N, C, L]
