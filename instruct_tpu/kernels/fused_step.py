@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernels for the diploid admixture step (modes 1/2/3).
+"""Fused Pallas TPU kernels for the diploid step (modes 1-5).
 
 The XLA formulation of one MCMC sweep moves ~2 GB of HBM per step at the
 north-star panel size (1000 x 10k): every update kernel re-reads the site
@@ -106,14 +106,32 @@ def allele_counts(z, geno, site_valid, *, n_pops, max_alleles,
 # Kernel 2/3: the per-site pass — Z sample + counts + log-likelihoods
 # ---------------------------------------------------------------------------
 
-def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, n_gen,
-                 structure, mode1_ll, n_l_blocks, block_l, inkernel_prng):
+def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
+                 n_col, structure, full_ll, n_l_blocks, block_l,
+                 inkernel_prng):
     """One [bn, bl] block of the per-site sweep.
 
+    ``ll_kind`` selects the log-likelihood family computed alongside the
+    (optional) Z sampling:
+      None     — sampling only
+      "mode1"  — independent-copy cal_lkh at the FRESH z (mcmc.c:1869-1890)
+      "gen"    — selfing-generation columns (log_ld_indv, mcmc.c:1726-1773);
+                 ``structure`` picks structure- vs expectation-way;
+                 ``full_ll`` False sums the full per-site formula per column
+                 (the G-update pair), True is identical here
+      "find"   — per-individual inbreeding F columns (log_ld_F_indv,
+                 mcmc.c:1813-1847): full_ll=False sums the F-dependent
+                 same-z sites only (the MH ratio terms, update_F_IND),
+                 full_ll=True is cal_lkh's full where(same, joint, indep)
+      "fpop"   — per-pop F (log_ld_F_pop, mcmc.c:1776-1810): full_ll=False
+                 emits the per-(individual, pop) MH log-ratio sums between
+                 column 0 (current) and column 1 (proposed); full_ll=True
+                 is cal_lkh with f = rates[z0]
+
     Ref order (inputs): q, freq_rows, geno0, geno1, valid, hom?,
-    z0_in?, z1_in?, wg (bn, n_gen)?, u0?, u1?
+    z0_in?, z1_in?, colv (bn, n_col)?, fvals (K, n_col) in SMEM?, u0?, u1?
     Outputs: z0_out?, z1_out?, cnt (bn, K)?, cnt_la ([K*A, L] resident)?,
-    ll (bn, max(n_gen,1))?  The ? groups are present per the static flags.
+    ll (bn, n_out)?  The ? groups are present per the static flags.
 
     When sampling, the [K, L, A] allele-pop counts of the FRESH z are also
     accumulated (cnt_la) so the next step's P update needs no extra pass
@@ -121,19 +139,23 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, n_gen,
     cnt_la is a full-array resident output (block index constant) because
     its reduction axis (N-blocks) is the major grid axis.
     """
+    need_hom = ll_kind in ("gen", "find", "fpop")
+    need_zin = ((ll_kind == "gen" and structure)
+                or ll_kind in ("find", "fpop"))
+    need_colv = ll_kind in ("gen", "find")
+    need_ll = ll_kind is not None
+
     it = iter(refs)
     q_ref = next(it)
     freq_ref = next(it)
     g0 = next(it)[:].astype(jnp.int32)
     g1 = next(it)[:].astype(jnp.int32)
     valid = next(it)[:] != 0
-    need_ll = n_gen > 0 or mode1_ll
-    hom = next(it)[:] != 0 if n_gen > 0 else None
-    z0_in = (next(it)[:].astype(jnp.int32)
-             if structure and n_gen > 0 else None)
-    z1_in = (next(it)[:].astype(jnp.int32)
-             if structure and n_gen > 0 else None)
-    wg_ref = next(it) if n_gen > 0 else None
+    hom = next(it)[:] != 0 if need_hom else None
+    z0_in = next(it)[:].astype(jnp.int32) if need_zin else None
+    z1_in = next(it)[:].astype(jnp.int32) if need_zin else None
+    colv_ref = next(it) if need_colv else None
+    fvals_ref = next(it) if ll_kind == "fpop" else None
     u0 = None if inkernel_prng else next(it)[:]
     u1 = None if inkernel_prng else next(it)[:]
     outs = list(it)
@@ -228,14 +250,14 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, n_gen,
                     r = k * max_alleles + a
                     cnt_la_ref[r:r + 1, pl.ds(col, block_l)] += v
 
-    if mode1_ll:
-        # mode 1 cal_lkh: independent-copy log-lik at the fresh z
-        # (log_ld_noselfing_indv, mcmc.c:1869-1890)
-        def at_z(ws, zc):
-            p = ws[0]
-            for k in range(1, n_pops):
-                p = jnp.where(zc == k, ws[k], p)
-            return p
+    def at_z(ws, zc):
+        p = ws[0]
+        for k in range(1, n_pops):
+            p = jnp.where(zc == k, ws[k], p)
+        return p
+
+    if ll_kind == "mode1":
+        # cal_lkh at the fresh z (log_ld_noselfing_indv, mcmc.c:1869-1890)
         p0 = at_z(w0, z0)
         p1 = at_z(w1, z1)
         # (g0 - g1) != 0 rather than g0 != g1: Mosaic folds an eq of two
@@ -246,50 +268,93 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, n_gen,
         ll_ref[:, 0] += (site * vf).sum(axis=1)
         return
 
-    if n_gen == 0:
+    if ll_kind is None:
         return
 
-    # selfing-generation log-likelihood columns (log_ld_indv,
-    # mcmc.c:1726-1773); wg = 2^{1-g} per column precomputed host-side
-    if structure:
-        def at_z(ws, zc):
-            p = ws[0]
-            for k in range(1, n_pops):
-                p = jnp.where(zc == k, ws[k], p)
-            return p
-        p0 = at_z(w0, z0_in)
-        p1 = at_z(w1, z1_in)
-        same = (z0_in - z1_in) == 0      # see het_f note on i8 vector cmp
-        hom_f = hom.astype(jnp.float32)
-        indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
-    else:
-        p0 = q_ref[:, 0][:, None] * w0[0]
-        p1 = q_ref[:, 0][:, None] * w1[0]
-        for k in range(1, n_pops):
-            p0 = p0 + q_ref[:, k][:, None] * w0[k]
-            p1 = p1 + q_ref[:, k][:, None] * w1[k]
-        same = None
-        indep = None
-
     vf = valid.astype(jnp.float32)
-    for gcol in range(n_gen):
-        wg = wg_ref[:, gcol][:, None]
-        gf = jnp.where(hom,
-                       p0 * p0 + p0 * (1.0 - p0) * (1.0 - wg),
-                       2.0 * p0 * p1 * wg)
-        site = _log(gf)
+
+    if ll_kind == "gen":
+        # selfing-generation columns; colv = 2^{1-g} precomputed host-side
         if structure:
-            site = jnp.where(same, site, indep)
-        ll_ref[:, gcol] += (site * vf).sum(axis=1)
+            p0 = at_z(w0, z0_in)
+            p1 = at_z(w1, z1_in)
+            same = (z0_in - z1_in) == 0  # see het_f note on i8 vector cmp
+            hom_f = hom.astype(jnp.float32)
+            indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
+        else:
+            p0 = q_ref[:, 0][:, None] * w0[0]
+            p1 = q_ref[:, 0][:, None] * w1[0]
+            for k in range(1, n_pops):
+                p0 = p0 + q_ref[:, k][:, None] * w0[k]
+                p1 = p1 + q_ref[:, k][:, None] * w1[k]
+        for gcol in range(n_col):
+            wg = colv_ref[:, gcol][:, None]
+            gf = jnp.where(hom,
+                           p0 * p0 + p0 * (1.0 - p0) * (1.0 - wg),
+                           2.0 * p0 * p1 * wg)
+            site = _log(gf)
+            if structure:
+                site = jnp.where(same, site, indep)
+            ll_ref[:, gcol] += (site * vf).sum(axis=1)
+        return
+
+    # inbreeding F families ("find" / "fpop"): z-conditioned copy probs
+    p0 = at_z(w0, z0_in)
+    p1 = at_z(w1, z1_in)
+    same = (z0_in - z1_in) == 0
+    hom_f = hom.astype(jnp.float32)
+    same_f = same.astype(jnp.float32)
+
+    def gf_log(f):
+        return _log(jnp.where(hom,
+                              p0 * p0 * (1.0 - f) + p0 * f,
+                              2.0 * p0 * p1 * (1.0 - f)))
+
+    if ll_kind == "find":
+        if full_ll:
+            f = colv_ref[:, 0][:, None]
+            indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
+            site = jnp.where(same, gf_log(f), indep)
+            ll_ref[:, 0] += (site * vf).sum(axis=1)
+        else:
+            m = same_f * vf           # only same-z sites depend on F
+            for c in range(n_col):
+                f = colv_ref[:, c][:, None]
+                ll_ref[:, c] += (gf_log(f) * m).sum(axis=1)
+        return
+
+    # "fpop": f = fvals[z0, col] via scalar selects from SMEM
+    def f_at_z0(c):
+        f = jnp.full(p0.shape, fvals_ref[0, c])
+        for k in range(1, n_pops):
+            f = jnp.where(z0_in == k, fvals_ref[k, c], f)
+        return f
+
+    if full_ll:
+        indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
+        site = jnp.where(same, gf_log(f_at_z0(0)), indep)
+        ll_ref[:, 0] += (site * vf).sum(axis=1)
+    else:
+        m = same_f * vf
+        d = (gf_log(f_at_z0(1)) - gf_log(f_at_z0(0))) * m
+        for k in range(n_pops):
+            ll_ref[:, k] += (d * (z0_in == k).astype(jnp.float32)
+                             ).sum(axis=1)
 
 
-def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, wg, u, *,
-               sample, n_gen, structure, mode1_ll, interpret):
+def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
+               *, sample, ll_kind, n_col, structure, full_ll, interpret):
     n, l = site_valid.shape
     k, _, a = freq.shape
     bn, bl = min(128, max(8, n)), min(1024, -(-l // 128) * 128)
     np_, lp = n + (-n % bn), l + (-l % bl)
     grid = (np_ // bn, lp // bl)              # L axis minor: accumulation
+
+    need_hom = ll_kind in ("gen", "find", "fpop")
+    need_zin = ((ll_kind == "gen" and structure)
+                or ll_kind in ("find", "fpop"))
+    need_colv = ll_kind in ("gen", "find")
+    need_ll = ll_kind is not None
 
     gp = [_pad2(geno[:, :l], bn, bl), _pad2(geno[:, l:], bn, bl)]
     vp = _pad2(site_valid.astype(jnp.int8), bn, bl)
@@ -299,23 +364,27 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, wg, u, *,
 
     operands = [qp, freq_rows, *gp, vp]
     in_specs = [
-        pl.BlockSpec((bn, k), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, k), lambda i, j, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((k * a, bl), lambda i, j, *_: (0, j),
                      memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
                       memory_space=pltpu.VMEM)] * 3
-    if n_gen > 0:
+    if need_hom:
         operands.append(_pad2(hom.astype(jnp.int8), bn, bl))
         in_specs.append(pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
                                      memory_space=pltpu.VMEM))
-    if structure and n_gen > 0:
+    if need_zin:
         operands += [_pad2(z_in[:, :l], bn, bl), _pad2(z_in[:, l:], bn, bl)]
         in_specs += [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
                                   memory_space=pltpu.VMEM)] * 2
-    if n_gen > 0:
-        operands.append(jnp.pad(wg, ((0, np_ - n), (0, 0))))
-        in_specs.append(pl.BlockSpec((bn, n_gen), lambda i, j, *_: (i, 0),
+    if need_colv:
+        operands.append(jnp.pad(colv, ((0, np_ - n), (0, 0))))
+        in_specs.append(pl.BlockSpec((bn, n_col), lambda i, j, *_: (i, 0),
                                      memory_space=pltpu.VMEM))
+    if ll_kind == "fpop":
+        operands.append(jnp.asarray(fvals, jnp.float32))     # [K, n_col]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     inkernel_prng = u is None
     if not inkernel_prng:
         operands += [jnp.pad(u[:, :l], ((0, np_ - n), (0, lp - l)),
@@ -337,17 +406,21 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, wg, u, *,
         out_shapes.append(jax.ShapeDtypeStruct((k * a, lp), jnp.float32))
         out_specs.append(pl.BlockSpec((k * a, lp), lambda i, j, *_: (0, 0),
                                       memory_space=pltpu.VMEM))
-    need_ll = n_gen > 0 or mode1_ll
     if need_ll:
-        ncol = max(n_gen, 1)
-        out_shapes.append(jax.ShapeDtypeStruct((np_, ncol), jnp.float32))
-        out_specs.append(pl.BlockSpec((bn, ncol), lambda i, j, *_: (i, 0),
+        if ll_kind == "mode1" or full_ll:
+            n_out = 1
+        elif ll_kind == "fpop":
+            n_out = k
+        else:
+            n_out = n_col
+        out_shapes.append(jax.ShapeDtypeStruct((np_, n_out), jnp.float32))
+        out_specs.append(pl.BlockSpec((bn, n_out), lambda i, j, *_: (i, 0),
                                       memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
-        _site_kernel, n_pops=k, max_alleles=a, sample=sample, n_gen=n_gen,
-        structure=structure, mode1_ll=mode1_ll, n_l_blocks=grid[1],
-        block_l=bl, inkernel_prng=inkernel_prng)
+        _site_kernel, n_pops=k, max_alleles=a, sample=sample,
+        ll_kind=ll_kind, n_col=n_col, structure=structure, full_ll=full_ll,
+        n_l_blocks=grid[1], block_l=bl, inkernel_prng=inkernel_prng)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=out_specs)
@@ -380,9 +453,9 @@ def zq_gen_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
     zcounts f32[K, L, A] — allele-pop counts of the fresh z for the next
     step's P update).
     """
-    r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, u,
-                   sample=True, n_gen=2, structure=structure,
-                   mode1_ll=False, interpret=interpret)
+    r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair,
+                   None, u, sample=True, ll_kind="gen", n_col=2,
+                   structure=structure, full_ll=False, interpret=interpret)
     return r["z"], r["qqnum"], r["ll"], r["zcounts"]
 
 
@@ -392,9 +465,9 @@ def zq_mode1_pass(seed, q, freq, geno, site_valid, *, interpret=False,
     """Sequence point 2 for mode 1 (no selfing): sample z + counts + the
     cal_lkh log-lik at the fresh z, all in one pass.
     Returns (z, qqnum, ll f32[N], zcounts f32[K, L, A])."""
-    r = _site_pass(seed, q, freq, geno, site_valid, None, None, None, u,
-                   sample=True, n_gen=0, structure=True, mode1_ll=True,
-                   interpret=interpret)
+    r = _site_pass(seed, q, freq, geno, site_valid, None, None, None, None,
+                   u, sample=True, ll_kind="mode1", n_col=0,
+                   structure=True, full_ll=True, interpret=interpret)
     return r["z"], r["qqnum"], r["ll"][:, 0], r["zcounts"]
 
 
@@ -404,6 +477,55 @@ def panel_loglik_pass(freq, q, geno, site_valid, hom, z, wg, *,
     """Sequence point 3: cal_lkh (mcmc.c:1916-1942) for modes 2/3 —
     per-individual log-lik at the fresh (q, gen, z).  wg f32[N, 1]."""
     r = _site_pass(jnp.zeros((), jnp.int32), q, freq, geno, site_valid, hom,
-                   z, wg, None, sample=False, n_gen=1, structure=structure,
-                   mode1_ll=False, interpret=interpret)
+                   z, wg, None, None, sample=False, ll_kind="gen", n_col=1,
+                   structure=structure, full_ll=True, interpret=interpret)
+    return r["ll"][:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("pop", "interpret"))
+def zq_f_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair, *,
+              pop, interpret=False, u=None):
+    """Sequence point 2 for the inbreeding modes (4/5): sample z + counts
+    and the F-dependent log-likelihood terms of the MH update.
+
+    pop=True (mode 4): ``f_pair`` f32[K, 2] = (current, proposed) per pop;
+    the third return is fdiff f32[N, K] — per-individual per-pop sums of
+    log L(f'_k) - log L(f_k) over same-z sites (sum over N gives the MH
+    log-ratio of update_inbreedcoff_POP, mcmc.c:986-1050, corrected).
+
+    pop=False (mode 5): ``f_pair`` f32[N, 2]; the third return is
+    ll f32[N, 2] — same-z log-lik sums at (current, proposed) per
+    individual (update_F_IND, mcmc.c:888-910).
+
+    Returns (z, qqnum, fdiff_or_ll, zcounts).
+    """
+    if pop:
+        r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, None,
+                       f_pair, u, sample=True, ll_kind="fpop", n_col=2,
+                       structure=True, full_ll=False, interpret=interpret)
+    else:
+        r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair,
+                       None, u, sample=True, ll_kind="find", n_col=2,
+                       structure=True, full_ll=False, interpret=interpret)
+    return r["z"], r["qqnum"], r["ll"], r["zcounts"]
+
+
+@functools.partial(jax.jit, static_argnames=("pop", "interpret"))
+def panel_loglik_f_pass(freq, geno, site_valid, hom, z, f, *, pop,
+                        interpret=False):
+    """cal_lkh for modes 4/5 (log_ld_F_pop/indv, mcmc.c:1776-1847) at the
+    fresh (P, F, Z).  f is f32[K, 1] (pop=True) or f32[N, 1]."""
+    n = geno.shape[0]
+    k = freq.shape[0]
+    dummy_q = jnp.zeros((n, k), jnp.float32)
+    if pop:
+        r = _site_pass(jnp.zeros((), jnp.int32), dummy_q, freq, geno,
+                       site_valid, hom, z, None, f, None, sample=False,
+                       ll_kind="fpop", n_col=1, structure=True,
+                       full_ll=True, interpret=interpret)
+    else:
+        r = _site_pass(jnp.zeros((), jnp.int32), dummy_q, freq, geno,
+                       site_valid, hom, z, f, None, None, sample=False,
+                       ll_kind="find", n_col=1, structure=True,
+                       full_ll=True, interpret=interpret)
     return r["ll"][:, 0]

@@ -141,7 +141,7 @@ def init_state(
         gen = jnp.zeros((0,), jnp.int32)
 
     zcounts = None
-    if spec.mode in (1, 2, 3):
+    if spec.mode in (1, 2, 3, 4, 5):
         from instruct_tpu.mcmc import updates as up  # runtime: no cycle
         zcounts = up.allele_pop_counts(spec, data, z, zz)
 

@@ -33,14 +33,14 @@ def _cal_lkh(spec: ModelSpec, data: Dataset, state: McmcState) -> McmcState:
 
 
 def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
-    """Fused Pallas step path: modes 1/2/3, diploid, non-DPM, on TPU
+    """Fused Pallas step path: modes 1-5, diploid, non-DPM, on TPU
     (kernels/fused_step.py).  `use_pallas=None` auto-enables on TPU;
     False forces the XLA path; True forces fused (TPU only)."""
     if spec.use_pallas is False or spec.ploid != 2:
         return False
-    if spec.mode not in (1, 2, 3):
+    if spec.mode not in (1, 2, 3, 4, 5):
         return False
-    if spec.priors.family == PriorFamily.DPM and spec.mode == 3:
+    if spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5):
         return False
     if spec.n_pops * data.max_alleles > 64:
         return False
@@ -59,7 +59,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
     k = spec.n_pops
     a = data.max_alleles
     structure = spec.type_freq == 1
-    normal = (spec.priors.family == PriorFamily.NORMAL and spec.mode == 3)
+    normal = (spec.priors.family == PriorFamily.NORMAL
+              and spec.mode in (3, 5))
 
     def step(state: McmcState, key: jax.Array) -> McmcState:
         kp, ks, kg, kz, ka, kq, kacc = jax.random.split(key, 7)
@@ -69,6 +70,9 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
         freq = up.dirichlet_from_counts(kp, state.zcounts + 1.0,
                                         data.allele_valid[None])
         state = state._replace(freq=freq)
+
+        if spec.mode in (4, 5):
+            return _f_tail(state, ks, kz, ka, kq, kacc)
 
         if spec.mode == 2:
             rates, ais = up.update_s_pop(ks, spec, state.q, state.gen,
@@ -113,9 +117,57 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
         return state._replace(z=z, q=q_new, alpha=alpha, gen=gen,
                               zcounts=zcounts)
 
+    def _f_tail(state, ks, kz, ka, kq, kacc):
+        """Modes 4/5: fused F-MH + Z-Gibbs pass, then Q and alpha
+        (mcmc_POP_inbreedcoff / mcmc_INDV_inbreedcoff, mcmc.c:242-293,
+        386-468)."""
+        kprop = jax.random.fold_in(ks, 0)
+        if spec.mode == 4 and spec.back_refl != 1:
+            prop, prop_states, log_hast = \
+                up.propose_adaptive_independence(kprop, state.rates,
+                                                 state.ais_state)
+        else:
+            prop = up.propose_back_reflection(kprop, state.rates,
+                                              spec.mh_step_s)
+            prop_states = state.ais_state
+            log_hast = jnp.zeros_like(state.rates)
+        f_pair = jnp.stack([state.rates, prop], axis=1)      # [R, 2]
+        seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
+        z, qqnum, ll, zcounts = fs.zq_f_pass(
+            seed, state.q, state.freq, data.geno, data.site_valid,
+            data.hom, state.z, f_pair, pop=(spec.mode == 4))
+        if spec.mode == 4:
+            log_ratio = ll.sum(axis=0) + log_hast            # [K]
+        else:
+            log_ratio = ll[:, 1] - ll[:, 0]                  # [N]
+            if normal:
+                def pri(f):
+                    return (-0.5 * (f - state.prior_mu) ** 2
+                            / state.prior_sigma2)
+                log_ratio = log_ratio + pri(prop) - pri(state.rates)
+        u = jax.random.uniform(kacc, state.rates.shape, minval=1e-30)
+        accept = jnp.log(u) < log_ratio
+        rates = jnp.where(accept, prop, state.rates)
+        ais = jnp.where(accept, prop_states, state.ais_state)
+        state = state._replace(rates=rates, ais_state=ais)
+        if spec.mode == 5 and normal:
+            mu, s2 = up.update_normal_hyper(
+                jax.random.fold_in(ks, 1), rates, spec.priors)
+            state = state._replace(prior_mu=mu, prior_sigma2=s2)
+        q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
+        alpha = up.update_alpha(ka, spec, q_new, state.alpha)
+        return state._replace(z=z, q=q_new, alpha=alpha, zcounts=zcounts)
+
     def add_loglik(state: McmcState) -> McmcState:
         if spec.mode == 1:
             return state               # ll came free with the zq pass
+        if spec.mode in (4, 5):
+            f = state.rates[:, None]
+            ll_indv = fs.panel_loglik_f_pass(
+                state.freq, data.geno, data.site_valid, data.hom, state.z,
+                f, pop=(spec.mode == 4))
+            return state._replace(loglik_indv=ll_indv,
+                                  loglik_total=ll_indv.sum())
         wg = jnp.exp2(1.0 - state.gen.astype(jnp.float32))[:, None]
         ll_indv = fs.panel_loglik_pass(state.freq, state.q, data.geno,
                                        data.site_valid, data.hom, state.z,
@@ -144,7 +196,7 @@ def build_step_parts(spec: ModelSpec, data: Dataset):
       mode 4: P, F_pop, ZQ, alpha, lkh        (mcmc.c:263-269)
       mode 5: P, F_ind|DPM, ZQ, alpha, lkh    (mcmc.c:420-434)
 
-    On TPU the diploid admixture modes (1/2/3, non-DPM) compile to the
+    On TPU the diploid modes (1-5, non-DPM) compile to the
     fused Pallas path (see :func:`_build_fused_parts`).
     """
     if spec.ploid == 4:

@@ -115,3 +115,65 @@ def test_zq_mode1_pass_matches_xla(setup):
     want = lk.per_indv_loglik(spec, data, freq, z, q, None, None)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(want),
                                rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("pop", [True, False])
+def test_zq_f_pass_matches_xla(setup, pop):
+    data, freq, q, z_old, gen, gen_prop, k, a = setup
+    n = data.geno.shape[0]
+    rng = np.random.default_rng(8)
+    if pop:
+        f_pair = jnp.asarray(rng.uniform(0.1, 0.9, (k, 2)), jnp.float32)
+    else:
+        f_pair = jnp.asarray(rng.uniform(0.1, 0.9, (n, 2)), jnp.float32)
+    u = jax.random.uniform(jax.random.key(5), data.geno.shape,
+                           minval=1e-6, maxval=1 - 1e-6)
+    z, qqnum, ll, zcounts = fs.zq_f_pass(0, q, freq, data.geno,
+                                         data.site_valid, data.hom, z_old,
+                                         f_pair, pop=pop, interpret=True,
+                                         u=u)
+    want_z = _xla_z_draw(u, q, freq, data, k)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(want_z))
+
+    # reference formulas via the XLA likelihood on same-z sites
+    pz = lk.gather_freq_at_z(freq, data, z_old)
+    p0, p1 = lk.split_copies(pz, 2)
+    z0, z1 = lk.split_copies(z_old, 2)
+    mask = np.asarray((z0 == z1) & data.site_valid)
+    hom = np.asarray(data.hom)
+    p0, p1 = np.asarray(p0), np.asarray(p1)
+
+    def lp(fsite):
+        gf = np.where(hom, p0 * p0 * (1 - fsite) + p0 * fsite,
+                      2 * p0 * p1 * (1 - fsite))
+        return np.log(np.maximum(gf, 1e-30))
+
+    fp = np.asarray(f_pair)
+    z0n = np.asarray(z0)
+    if pop:
+        d = (lp(fp[z0n, 1]) - lp(fp[z0n, 0])) * mask
+        want = np.stack([np.where(z0n == kk, d, 0.0).sum(1)
+                         for kk in range(k)], axis=1)
+        np.testing.assert_allclose(np.asarray(ll), want, rtol=2e-4,
+                                   atol=2e-3)
+    else:
+        for c in range(2):
+            want = (lp(fp[:, c][:, None]) * mask).sum(1)
+            np.testing.assert_allclose(np.asarray(ll[:, c]), want,
+                                       rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("pop", [True, False])
+def test_panel_loglik_f_pass_matches_xla(setup, pop):
+    data, freq, q, z, gen, gen_prop, k, a = setup
+    n = data.geno.shape[0]
+    rng = np.random.default_rng(9)
+    rates = jnp.asarray(rng.uniform(0.1, 0.9, (k if pop else n,)),
+                        jnp.float32)
+    got = fs.panel_loglik_f_pass(freq, data.geno, data.site_valid,
+                                 data.hom, z, rates[:, None], pop=pop,
+                                 interpret=True)
+    spec = ModelSpec(mode=4 if pop else 5, n_pops=k)
+    want = lk.per_indv_loglik(spec, data, freq, z, q, None, rates)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
