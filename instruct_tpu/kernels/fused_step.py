@@ -37,6 +37,18 @@ _LOG2 = 0.6931471805599453
 _EPS = 1e-30
 
 
+def seed_words(key) -> jnp.ndarray:
+    """The raw 32-bit words of a typed PRNG key, as i32[W].
+
+    The in-kernel PRNG is seeded per block with (word 0, word 1 XOR block
+    id) — two slots of `pltpu.prng_seed` — giving every (chain, step,
+    block) an independent stream.  A linear ``seed + block`` offset from a
+    single 31-bit word collides by birthday across long runs (ADVICE r1)
+    and is never used."""
+    kd = jax.random.key_data(key)
+    return jax.lax.bitcast_convert_type(kd, jnp.int32).reshape(-1)
+
+
 def _pad2(x, bn, bl):
     n, l = x.shape
     return jnp.pad(x, ((0, -n % bn), (0, -l % bl)))
@@ -108,7 +120,7 @@ def allele_counts(z, geno, site_valid, *, n_pops, max_alleles,
 
 def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
                  n_col, structure, full_ll, n_l_blocks, block_l,
-                 inkernel_prng):
+                 inkernel_prng, n_seed_words, carry_counts):
     """One [bn, bl] block of the per-site sweep.
 
     ``ll_kind`` selects the log-likelihood family computed alongside the
@@ -145,6 +157,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     need_colv = ll_kind in ("gen", "find")
     need_ll = ll_kind is not None
 
+    carry_counts = carry_counts and sample
     it = iter(refs)
     q_ref = next(it)
     freq_ref = next(it)
@@ -162,14 +175,29 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     oi = 0
     cnt_la_ref = None
     if sample:
-        z0_out, z1_out, cnt_ref, cnt_la_ref = outs[:4]
-        oi = 4
+        if carry_counts:
+            z0_out, z1_out, cnt_ref, cnt_la_ref = outs[:4]
+            oi = 4
+        else:
+            z0_out, z1_out, cnt_ref = outs[:3]
+            oi = 3
     ll_ref = outs[oi] if need_ll else None
 
     i = pl.program_id(0)
     j = pl.program_id(1)
     if inkernel_prng and sample:
-        pltpu.prng_seed(seed_ref[0] + i * n_l_blocks + j)
+        # Two-slot seeding (Mosaic supports at most 2 seed words): slot 0
+        # is the first key word, slot 1 the second key word XOR the block
+        # id.  The key words come from threefry split/fold_in so they are
+        # uniform 64-bit per (chain, step); XOR-folding the block id keeps
+        # the pair uniform per (chain, step, block).  Never a linear
+        # ``seed + block`` offset of one 31-bit word, which collides by
+        # birthday across steps x chains x blocks (ADVICE r1).
+        block = i * n_l_blocks + j
+        if n_seed_words >= 2:
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ block)
+        else:
+            pltpu.prng_seed(seed_ref[0], block)
 
     @pl.when(j == 0)
     def _init():
@@ -178,7 +206,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         if need_ll:
             ll_ref[:] = jnp.zeros_like(ll_ref)
 
-    if sample:
+    if carry_counts:
         @pl.when(jnp.logical_and(i == 0, j == 0))
         def _init_la():
             cnt_la_ref[:] = jnp.zeros_like(cnt_la_ref)
@@ -232,6 +260,8 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
             m0 = (z0 == k).astype(jnp.float32) * vf
             m1 = (z1 == k).astype(jnp.float32) * vf
             cnt_ref[:, k] += (m0 + m1).sum(axis=1)
+            if not carry_counts:
+                continue
             # allele-pop counts of the fresh z (update_P's counting loop,
             # mcmc.c:815-845) — accumulated into the resident [K*A, L] out
             if max_alleles == 2:
@@ -342,13 +372,23 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
                              ).sum(axis=1)
 
 
+# VMEM budget for the resident [K*A, L_padded] f32 allele-count output of
+# the sampling kernels.  Above this the fused pass drops the carried counts
+# and the step recounts with the L-blocked `allele_counts` kernel instead —
+# one extra int8 read pass, but compilable at any panel width.
+_CNT_LA_VMEM_BUDGET = 4 * 1024 * 1024
+
+
 def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
-               *, sample, ll_kind, n_col, structure, full_ll, interpret):
+               *, sample, ll_kind, n_col, structure, full_ll, interpret,
+               carry_counts=True):
     n, l = site_valid.shape
     k, _, a = freq.shape
     bn, bl = min(128, max(8, n)), min(1024, -(-l // 128) * 128)
     np_, lp = n + (-n % bn), l + (-l % bl)
     grid = (np_ // bn, lp // bl)              # L axis minor: accumulation
+    carry_counts = (carry_counts and sample
+                    and k * a * lp * 4 <= _CNT_LA_VMEM_BUDGET)
 
     need_hom = ll_kind in ("gen", "find", "fpop")
     need_zin = ((ll_kind == "gen" and structure)
@@ -402,10 +442,12 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
         out_shapes.append(jax.ShapeDtypeStruct((np_, k), jnp.float32))
         out_specs.append(pl.BlockSpec((bn, k), lambda i, j, *_: (i, 0),
                                       memory_space=pltpu.VMEM))
-        # resident allele-pop counts of the fresh z: block index constant
-        out_shapes.append(jax.ShapeDtypeStruct((k * a, lp), jnp.float32))
-        out_specs.append(pl.BlockSpec((k * a, lp), lambda i, j, *_: (0, 0),
-                                      memory_space=pltpu.VMEM))
+        if carry_counts:
+            # resident allele-pop counts of the fresh z: constant block idx
+            out_shapes.append(jax.ShapeDtypeStruct((k * a, lp), jnp.float32))
+            out_specs.append(pl.BlockSpec((k * a, lp),
+                                          lambda i, j, *_: (0, 0),
+                                          memory_space=pltpu.VMEM))
     if need_ll:
         if ll_kind == "mode1" or full_ll:
             n_out = 1
@@ -417,16 +459,17 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
         out_specs.append(pl.BlockSpec((bn, n_out), lambda i, j, *_: (i, 0),
                                       memory_space=pltpu.VMEM))
 
+    seed_words = jnp.atleast_1d(jnp.asarray(seed, jnp.int32)).reshape(-1)
     kernel = functools.partial(
         _site_kernel, n_pops=k, max_alleles=a, sample=sample,
         ll_kind=ll_kind, n_col=n_col, structure=structure, full_ll=full_ll,
-        n_l_blocks=grid[1], block_l=bl, inkernel_prng=inkernel_prng)
+        n_l_blocks=grid[1], block_l=bl, inkernel_prng=inkernel_prng,
+        n_seed_words=seed_words.shape[0], carry_counts=carry_counts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=out_specs)
     outs = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shapes,
-                          interpret=interpret)(
-        jnp.asarray(seed, jnp.int32).reshape(1), *operands)
+                          interpret=interpret)(seed_words, *operands)
 
     res = {}
     oi = 0
@@ -434,9 +477,13 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
         z = jnp.concatenate([outs[0][:n, :l], outs[1][:n, :l]], axis=1)
         res["z"] = z
         res["qqnum"] = outs[2][:n]
-        res["zcounts"] = (outs[3][:, :l].reshape(k, a, l)
-                          .transpose(0, 2, 1))             # [K, L, A]
-        oi = 4
+        if carry_counts:
+            res["zcounts"] = (outs[3][:, :l].reshape(k, a, l)
+                              .transpose(0, 2, 1))         # [K, L, A]
+            oi = 4
+        else:
+            res["zcounts"] = None
+            oi = 3
     if need_ll:
         res["ll"] = outs[oi][:n]
     return res

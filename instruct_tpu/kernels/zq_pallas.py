@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(seed_ref, q_ref, freq_ref, *refs, n_pops, max_alleles, ploid,
-            n_l_blocks, inkernel_prng):
+            n_l_blocks, inkernel_prng, n_seed_words):
     geno_refs = refs[:ploid]
     valid_ref = refs[ploid]
     u_refs = () if inkernel_prng else refs[ploid + 1:2 * ploid + 1]
@@ -39,7 +39,14 @@ def _kernel(seed_ref, q_ref, freq_ref, *refs, n_pops, max_alleles, ploid,
     i = pl.program_id(0)
     j = pl.program_id(1)
     if inkernel_prng:
-        pltpu.prng_seed(seed_ref[0] + i * n_l_blocks + j)
+        # Two-slot seeding: (key word 0, key word 1 XOR block id) — never
+        # a linear seed+offset of one 31-bit word, which collides across
+        # (step, chain, block) by birthday (see fused_step.py).
+        block = i * n_l_blocks + j
+        if n_seed_words >= 2:
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ block)
+        else:
+            pltpu.prng_seed(seed_ref[0], block)
 
     @pl.when(j == 0)
     def _init():
@@ -123,9 +130,11 @@ def zq_sample_counts(seed, q, freq, geno, site_valid, *, n_pops,
     freq_rows = jnp.transpose(freq, (0, 2, 1)).reshape(k * a, lp)
     grid = (np_ // bn, lp // bl)
 
+    seed_words = jnp.atleast_1d(jnp.asarray(seed, jnp.int32)).reshape(-1)
     kernel = functools.partial(_kernel, n_pops=n_pops, max_alleles=a,
                                ploid=ploid, n_l_blocks=grid[1],
-                               inkernel_prng=inkernel_prng)
+                               inkernel_prng=inkernel_prng,
+                               n_seed_words=seed_words.shape[0])
     out_shapes = ([jax.ShapeDtypeStruct((np_, lp), jnp.int32)
                    for _ in range(ploid)]
                   + [jax.ShapeDtypeStruct((np_, k), jnp.float32)])
@@ -160,7 +169,7 @@ def zq_sample_counts(seed, q, freq, geno, site_valid, *, n_pops,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), q, freq_rows, *genos,
+    )(seed_words, q, freq_rows, *genos,
       site_valid.astype(jnp.int32), *us)
 
     zs = [o[:n, :l] for o in outs[:ploid]]

@@ -300,6 +300,15 @@ def build_dpm_update(spec: ModelSpec, data: Dataset):
     path)."""
     alpha = spec.priors.alpha_dpm
     t_max = spec.priors.dp_truncation
+    n = data.n_indv
+    if not 0 <= t_max <= n:
+        raise ValueError(
+            f"dp_truncation={t_max} out of range: must be 0 (exact CRP "
+            f"sweep) or in [2, {n}] (= n_indv; the padded table has one "
+            "slot per individual)")
+    if t_max == 1:
+        raise ValueError("dp_truncation=1 collapses the DP to a single "
+                         "cluster; use 0 for the exact CRP sweep or T >= 2")
 
     def dpm_update(key, state):
         table = DpmTable(state.dpm_values, state.dpm_counts,

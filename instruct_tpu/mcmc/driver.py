@@ -161,11 +161,18 @@ def run_mcmc(
         # chains locally, so the fused Pallas kernels work multi-device and
         # there is ZERO communication in the step loop.
         chain_shardmap = (n_ds == 1 and n_cs > 1 and n_chains % n_cs == 0)
-        if (mesh.devices.size > 1 and not chain_shardmap
-                and spec.use_pallas is not True):
+        if mesh.devices.size > 1 and not chain_shardmap:
             # GSPMD cannot auto-partition the fused Pallas custom calls;
             # under a loci-sharded mesh use the XLA path (the kernels are
             # loci-local and could be shard_map'ed too — future work).
+            if spec.use_pallas is True:
+                raise ValueError(
+                    "use_pallas=True cannot be combined with a sharded "
+                    f"'{DATA_AXIS}' mesh axis ({n_ds} shards): GSPMD "
+                    "cannot partition the fused Pallas custom calls. "
+                    "Use use_pallas=None/False (XLA path) for loci "
+                    "sharding, or a pure chain-parallel mesh "
+                    f"(n_chains divisible by the '{CHAIN_AXIS}' axis).")
             spec = dataclasses.replace(spec, use_pallas=False)
         if not chain_shardmap:
             data = shard_dataset(mesh, data)
@@ -251,6 +258,18 @@ def run_mcmc(
                 states, accums, kdata = ckpt.restore_checkpoint(
                     checkpoint_dir, latest, (states, accums, kdata))
                 start = latest
+                if (states.zcounts is not None
+                        and getattr(states, "z", None) is not None
+                        and states.z.size):
+                    # zcounts is DERIVED state (the fused path's carried
+                    # P-update counts): recompute from the restored z
+                    # rather than trusting the saved value, so checkpoints
+                    # transfer across the fused/XLA paths (ADVICE r1).
+                    recount = jax.jit(jax.vmap(
+                        lambda z, zz: up.allele_pop_counts(
+                            spec, data, z, zz), in_axes=(0, 0)))
+                    states = states._replace(
+                        zcounts=recount(states.z, states.zz))
         kstep = jax.random.wrap_key_data(jnp.asarray(kdata))
         seg_len = min(x for x in (checkpoint_every, progress_every,
                                   sched.n_iter) if x is not None)

@@ -89,14 +89,14 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
                     jax.random.fold_in(ks, 1), rates, spec.priors)
                 state = state._replace(prior_mu=mu, prior_sigma2=s2)
 
-        seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
+        seed = fs.seed_words(kz)
         if spec.mode == 1:
             z, qqnum, ll_indv, zcounts = fs.zq_mode1_pass(
                 seed, state.q, freq, data.geno, data.site_valid)
             q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
             alpha = up.update_alpha(ka, spec, q_new, state.alpha)
             return state._replace(z=z, q=q_new, alpha=alpha,
-                                  zcounts=zcounts,
+                                  zcounts=_recount(z, zcounts),
                                   loglik_indv=ll_indv,
                                   loglik_total=ll_indv.sum())
 
@@ -115,7 +115,16 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
         q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
         alpha = up.update_alpha(ka, spec, q_new, state.alpha)
         return state._replace(z=z, q=q_new, alpha=alpha, gen=gen,
-                              zcounts=zcounts)
+                              zcounts=_recount(z, zcounts))
+
+    def _recount(z, zcounts):
+        """At large K*A*L the fused pass drops its carried allele counts
+        (VMEM gate, kernels/fused_step.py); recount with the L-blocked
+        kernel so the next P update still needs no XLA pass."""
+        if zcounts is not None:
+            return zcounts
+        return fs.allele_counts(z, data.geno, data.site_valid,
+                                n_pops=k, max_alleles=a)
 
     def _f_tail(state, ks, kz, ka, kq, kacc):
         """Modes 4/5: fused F-MH + Z-Gibbs pass, then Q and alpha
@@ -132,7 +141,7 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
             prop_states = state.ais_state
             log_hast = jnp.zeros_like(state.rates)
         f_pair = jnp.stack([state.rates, prop], axis=1)      # [R, 2]
-        seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
+        seed = fs.seed_words(kz)
         z, qqnum, ll, zcounts = fs.zq_f_pass(
             seed, state.q, state.freq, data.geno, data.site_valid,
             data.hom, state.z, f_pair, pop=(spec.mode == 4))
@@ -156,7 +165,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
             state = state._replace(prior_mu=mu, prior_sigma2=s2)
         q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
         alpha = up.update_alpha(ka, spec, q_new, state.alpha)
-        return state._replace(z=z, q=q_new, alpha=alpha, zcounts=zcounts)
+        return state._replace(z=z, q=q_new, alpha=alpha,
+                              zcounts=_recount(z, zcounts))
 
     def add_loglik(state: McmcState) -> McmcState:
         if spec.mode == 1:

@@ -130,9 +130,9 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
     if init:
         z = jax.random.randint(kz, (n, s), 0, k, dtype=jnp.int8)
     elif use_pallas:
+        from instruct_tpu.kernels.fused_step import seed_words
         from instruct_tpu.kernels.zq_pallas import zq_sample_counts
-        seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
-        z, qqnum = zq_sample_counts(seed, q, freq, data.geno,
+        z, qqnum = zq_sample_counts(seed_words(kz), q, freq, data.geno,
                                     data.site_valid, n_pops=k)
         q_new = dirichlet_from_counts(kq, qqnum + alpha)
         return z.astype(jnp.int8), q_new, qqnum

@@ -44,3 +44,87 @@ def test_checkpoint_resume_bitwise(tmp_path):
                                   np.asarray(straight.accum.mean.total_ll))
     np.testing.assert_array_equal(np.asarray(resumed.accum.mean.q),
                                   np.asarray(straight.accum.mean.q))
+
+
+def test_checkpoint_format_v2_field_path_keys(tmp_path):
+    """Leaves are keyed by field path with a version marker, so adding or
+    reordering state fields does not silently shift leaves (ADVICE r1)."""
+    import json
+
+    from instruct_tpu import checkpoint as ckpt
+
+    panel = synthetic_panel(n_indv=6, n_loci=5, n_pops=2, seed=1)
+    spec = ModelSpec(mode=2, n_pops=2)
+    d = tmp_path / "ck"
+    run_mcmc(panel.data, spec, SCHED, jax.random.key(5),
+             checkpoint_dir=str(d), checkpoint_every=30)
+    step = ckpt.latest_step(str(d))
+    meta = json.load(open(ckpt._meta_path(str(d), step)))
+    assert meta["format_version"] == ckpt.FORMAT_VERSION == 2
+    assert any("freq" in k for k in meta["keys"])
+    assert any("rates" in k for k in meta["keys"])
+
+
+def test_checkpoint_legacy_v1_restorable(tmp_path):
+    """A round-1 checkpoint (positional leaf_<i> keys, no meta file) still
+    restores when the pytree structure matches."""
+    from instruct_tpu import checkpoint as ckpt
+
+    payload = ({"a": np.arange(4.0), "b": np.int32(7)},
+               np.ones((2, 3), np.float32))
+    # legacy writer: positional keys, no meta
+    import orbax.checkpoint as ocp
+    leaves, _ = jax.tree.flatten(payload)
+    legacy = {f"leaf_{i}": x for i, x in enumerate(leaves)}
+    w = ocp.StandardCheckpointer()
+    w.save(ckpt._ckpt_path(str(tmp_path), 10), legacy, force=True)
+    w.wait_until_finished()
+
+    template = jax.tree.map(np.zeros_like, payload)
+    got = ckpt.restore_checkpoint(str(tmp_path), 10, template)
+    for a, b in zip(jax.tree.leaves(got), leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_recomputes_zcounts(tmp_path):
+    """zcounts is derived state: a resumed run must recompute it from the
+    restored z, not trust the saved value (fused/XLA path transfer)."""
+    from instruct_tpu import checkpoint as ckpt
+    from instruct_tpu.mcmc import updates as up
+
+    panel = synthetic_panel(n_indv=8, n_loci=6, n_pops=2, seed=9)
+    spec = ModelSpec(mode=2, n_pops=2)
+    d = tmp_path / "ck"
+    run_mcmc(panel.data, spec, SCHED, jax.random.key(2),
+             checkpoint_dir=str(d), checkpoint_every=30)
+
+    # corrupt the saved zcounts of the mid-run checkpoint
+    import shutil as sh
+    sh.rmtree(d / "step_000000000060")
+    step = ckpt.latest_step(str(d))
+    from instruct_tpu.mcmc.accumulators import init_accum
+    from instruct_tpu.mcmc.state import init_state
+    tmpl_state = jax.vmap(
+        lambda c: init_state(jax.random.fold_in(jax.random.key(2), c),
+                             spec, panel.data))(np.arange(2))
+    tmpl_acc = jax.vmap(
+        lambda _: init_accum(spec, SCHED, panel.data, False))(np.arange(2))
+    kdata = jax.random.key_data(jax.vmap(
+        lambda c: jax.random.fold_in(jax.random.key(2), c))(np.arange(2)))
+    states, accums, kd = ckpt.restore_checkpoint(
+        str(d), step, (tmpl_state, tmpl_acc, kdata))
+    bad = states._replace(zcounts=states.zcounts + 123.0)
+    ckpt.save_checkpoint(str(d), step, (bad, accums, kd))
+
+    resumed = run_mcmc(panel.data, spec, SCHED, jax.random.key(2),
+                       checkpoint_dir=str(d), checkpoint_every=30)
+    straight = run_mcmc(panel.data, spec, SCHED, jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(resumed.accum.mean.total_ll),
+                                  np.asarray(straight.accum.mean.total_ll))
+    # The corrupted value must have been replaced by a recount of the
+    # restored z (the XLA path never rewrites zcounts, so the final state
+    # still holds exactly what the restore computed).
+    want = jax.vmap(lambda z, zz: up.allele_pop_counts(
+        spec, panel.data, z, zz))(states.z, states.zz)
+    np.testing.assert_allclose(np.asarray(resumed.final_state.zcounts),
+                               np.asarray(want), atol=1e-4)

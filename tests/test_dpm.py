@@ -161,3 +161,23 @@ def test_run_mcmc_mode3_dpm_truncated():
     assert rates.shape == (2, 40)
     assert np.isfinite(np.asarray(res.posterior_mean.total_ll)).all()
     assert ((rates >= 0) & (rates <= 1)).all()
+
+
+def test_dp_truncation_validated():
+    """dp_truncation outside [0, N] (or ==1) must fail with a clear
+    ValueError, not a trace-time shape mismatch (ADVICE r1)."""
+    import pytest
+
+    from instruct_tpu.config import PriorFamily, Priors
+    from instruct_tpu.mcmc.dpm import build_dpm_update
+
+    panel = synthetic_panel(n_indv=12, n_loci=6, n_pops=2, seed=0)
+    for bad in (-1, 1, 13, 10_000):
+        spec = ModelSpec(mode=3, n_pops=2,
+                         priors=Priors(family=PriorFamily.DPM,
+                                       dp_truncation=bad))
+        with pytest.raises(ValueError, match="dp_truncation"):
+            build_dpm_update(spec, panel.data)
+    ok = ModelSpec(mode=3, n_pops=2,
+                   priors=Priors(family=PriorFamily.DPM, dp_truncation=8))
+    build_dpm_update(ok, panel.data)   # in range: no error

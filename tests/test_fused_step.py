@@ -177,3 +177,33 @@ def test_panel_loglik_f_pass_matches_xla(setup, pop):
     want = lk.per_indv_loglik(spec, data, freq, z, q, None, rates)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-3)
+
+
+def test_carry_counts_vmem_gate(setup, monkeypatch):
+    """Past the VMEM budget the sampling pass drops its resident [K*A, L]
+    count output (zcounts None); everything else is unchanged and the
+    L-blocked allele_counts recount reproduces the carried counts."""
+    data, freq, q, z_old, gen, gen_prop, k, a = setup
+    u = jax.random.uniform(jax.random.key(11), data.geno.shape,
+                           minval=1e-6, maxval=1 - 1e-6)
+    wg = jnp.exp2(1.0 - jnp.stack([gen, gen_prop], 1).astype(jnp.float32))
+    kw = dict(sample=True, ll_kind="gen", n_col=2, structure=True,
+              full_ll=False, interpret=True)
+    full = fs._site_pass(0, q, freq, data.geno, data.site_valid, data.hom,
+                         z_old, wg, None, u, **kw)
+    assert full["zcounts"] is not None
+    monkeypatch.setattr(fs, "_CNT_LA_VMEM_BUDGET", 0)
+    slim = fs._site_pass(0, q, freq, data.geno, data.site_valid, data.hom,
+                         z_old, wg, None, u, **kw)
+    assert slim["zcounts"] is None
+    np.testing.assert_array_equal(np.asarray(slim["z"]),
+                                  np.asarray(full["z"]))
+    np.testing.assert_allclose(np.asarray(slim["qqnum"]),
+                               np.asarray(full["qqnum"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(slim["ll"]),
+                               np.asarray(full["ll"]), rtol=1e-5)
+    recount = fs.allele_counts(jnp.asarray(slim["z"], jnp.int8), data.geno,
+                               data.site_valid, n_pops=k, max_alleles=a,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(recount),
+                               np.asarray(full["zcounts"]), atol=1e-4)

@@ -71,3 +71,16 @@ def test_chain_shardmap_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got.final_state.loglik_total),
                                np.asarray(ref.final_state.loglik_total),
                                rtol=1e-5)
+
+
+@needs_8
+def test_use_pallas_with_data_shards_raises():
+    """use_pallas=True + a sharded data axis must fail with a clear error,
+    not a GSPMD partitioning failure (ADVICE r1)."""
+    panel = synthetic_panel(n_indv=8, n_loci=16, n_pops=2, seed=4)
+    spec = ModelSpec(mode=2, n_pops=2, use_pallas=True)
+    sched = Schedule(n_iter=6, burnin=2, thinning=2, n_chains=2, ckrep=2,
+                     nstep_check_empty_cluster=2)
+    mesh = make_mesh(1, 8)
+    with pytest.raises(ValueError, match="use_pallas"):
+        run_mcmc(panel.data, spec, sched, jax.random.key(0), mesh=mesh)
