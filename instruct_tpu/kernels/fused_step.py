@@ -118,6 +118,17 @@ def allele_counts(z, geno, site_valid, *, n_pops, max_alleles,
 # Kernel 2/3: the per-site pass — Z sample + counts + log-likelihoods
 # ---------------------------------------------------------------------------
 
+def _pass_flags(ll_kind, structure, sample):
+    """(need_hom, need_zin, need_colv) — which optional operand groups the
+    per-site pass consumes for the given log-likelihood family."""
+    need_hom = ll_kind in ("gen", "gendiff", "find", "fpop")
+    need_zin = ((ll_kind in ("gen", "gendiff") and structure)
+                or ll_kind in ("find", "fpop")
+                or (ll_kind == "mode1" and not sample))
+    need_colv = ll_kind in ("gen", "gendiff", "find")
+    return need_hom, need_zin, need_colv
+
+
 def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
                  n_col, structure, full_ll, n_l_blocks, block_l,
                  inkernel_prng, n_seed_words, carry_counts):
@@ -151,10 +162,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     cnt_la is a full-array resident output (block index constant) because
     its reduction axis (N-blocks) is the major grid axis.
     """
-    need_hom = ll_kind in ("gen", "find", "fpop")
-    need_zin = ((ll_kind == "gen" and structure)
-                or ll_kind in ("find", "fpop"))
-    need_colv = ll_kind in ("gen", "find")
+    need_hom, need_zin, need_colv = _pass_flags(ll_kind, structure, sample)
     need_ll = ll_kind is not None
 
     carry_counts = carry_counts and sample
@@ -287,9 +295,11 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         return p
 
     if ll_kind == "mode1":
-        # cal_lkh at the fresh z (log_ld_noselfing_indv, mcmc.c:1869-1890)
-        p0 = at_z(w0, z0)
-        p1 = at_z(w1, z1)
+        # cal_lkh at z (log_ld_noselfing_indv, mcmc.c:1869-1890): the
+        # freshly-drawn z when sampling, the carried z on a deferred
+        # stored-step pass
+        p0 = at_z(w0, z0 if sample else z0_in)
+        p1 = at_z(w1, z1 if sample else z1_in)
         # (g0 - g1) != 0 rather than g0 != g1: Mosaic folds an eq of two
         # i8->i32 converts back into an unsupported i8 vector cmp
         het_f = ((g0 - g1) != 0).astype(jnp.float32)
@@ -302,6 +312,35 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         return
 
     vf = valid.astype(jnp.float32)
+
+    if ll_kind == "gendiff":
+        # Single-column MH log-ratio for the G update (update_G,
+        # mcmc.c:1053-1091): sum_sites log gf(g_prop) - log gf(g_cur).
+        # Factoring gf_hom = p0 (1 - (1-p0) w) and gf_het = 2 p0 p1 w
+        # (genofreq, mcmc.c:1683-1703), the log p0 / log 2 p0 p1 terms
+        # cancel in the ratio: het sites contribute the per-row constant
+        # log(w_p / w_c), (structure-way) z-mismatched sites contribute 0,
+        # and only hom same-z sites need a per-site log — ~4x fewer
+        # transcendentals than differencing two "gen" columns.
+        if structure:
+            p0 = at_z(w0, z0_in)
+            m = ((z0_in - z1_in) == 0) & valid
+        else:
+            p0 = q_ref[:, 0][:, None] * w0[0]
+            for k in range(1, n_pops):
+                p0 = p0 + q_ref[:, k][:, None] * w0[k]
+            m = valid
+        mh = (m & hom).astype(jnp.float32)
+        mt = (m & jnp.logical_not(hom)).astype(jnp.float32)
+        wc = colv_ref[:, 0][:, None]
+        wp = colv_ref[:, 1][:, None]
+        q1 = 1.0 - p0
+        ratio = (jnp.maximum(1.0 - q1 * wp, _EPS)
+                 / jnp.maximum(1.0 - q1 * wc, _EPS))
+        dh = _log(colv_ref[:, 1]) - _log(colv_ref[:, 0])     # [bn]
+        ll_ref[:, 0] += ((jnp.log(ratio) * mh).sum(axis=1)
+                         + dh * mt.sum(axis=1))
+        return
 
     if ll_kind == "gen":
         # selfing-generation columns; colv = 2^{1-g} precomputed host-side
@@ -330,27 +369,36 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
 
     # inbreeding F families ("find" / "fpop"): z-conditioned copy probs
     p0 = at_z(w0, z0_in)
-    p1 = at_z(w1, z1_in)
     same = (z0_in - z1_in) == 0
     hom_f = hom.astype(jnp.float32)
     same_f = same.astype(jnp.float32)
 
-    def gf_log(f):
+    def gf_log(f, p1):
         return _log(jnp.where(hom,
                               p0 * p0 * (1.0 - f) + p0 * f,
                               2.0 * p0 * p1 * (1.0 - f)))
 
+    def f_ratio_log(f0, f1):
+        """log gf(f1) - log gf(f0) with the p0 / 2 p0 p1 factors cancelled
+        (gf_hom = p0 (p0 (1-f) + f), gf_het = 2 p0 p1 (1-f)): one log of a
+        quotient instead of two full gf logs."""
+        num = jnp.where(hom, p0 * (1.0 - f1) + f1, 1.0 - f1)
+        den = jnp.where(hom, p0 * (1.0 - f0) + f0, 1.0 - f0)
+        return jnp.log(jnp.maximum(num, _EPS) / jnp.maximum(den, _EPS))
+
     if ll_kind == "find":
         if full_ll:
             f = colv_ref[:, 0][:, None]
+            p1 = at_z(w1, z1_in)
             indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
-            site = jnp.where(same, gf_log(f), indep)
+            site = jnp.where(same, gf_log(f, p1), indep)
             ll_ref[:, 0] += (site * vf).sum(axis=1)
         else:
-            m = same_f * vf           # only same-z sites depend on F
-            for c in range(n_col):
-                f = colv_ref[:, c][:, None]
-                ll_ref[:, c] += (gf_log(f) * m).sum(axis=1)
+            # single diff column over the F-dependent same-z sites
+            m = same_f * vf
+            d = f_ratio_log(colv_ref[:, 0][:, None],
+                            colv_ref[:, 1][:, None])
+            ll_ref[:, 0] += (d * m).sum(axis=1)
         return
 
     # "fpop": f = fvals[z0, col] via scalar selects from SMEM
@@ -361,12 +409,13 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         return f
 
     if full_ll:
+        p1 = at_z(w1, z1_in)
         indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
-        site = jnp.where(same, gf_log(f_at_z0(0)), indep)
+        site = jnp.where(same, gf_log(f_at_z0(0), p1), indep)
         ll_ref[:, 0] += (site * vf).sum(axis=1)
     else:
         m = same_f * vf
-        d = (gf_log(f_at_z0(1)) - gf_log(f_at_z0(0))) * m
+        d = f_ratio_log(f_at_z0(0), f_at_z0(1)) * m
         for k in range(n_pops):
             ll_ref[:, k] += (d * (z0_in == k).astype(jnp.float32)
                              ).sum(axis=1)
@@ -390,10 +439,7 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
     carry_counts = (carry_counts and sample
                     and k * a * lp * 4 <= _CNT_LA_VMEM_BUDGET)
 
-    need_hom = ll_kind in ("gen", "find", "fpop")
-    need_zin = ((ll_kind == "gen" and structure)
-                or ll_kind in ("find", "fpop"))
-    need_colv = ll_kind in ("gen", "find")
+    need_hom, need_zin, need_colv = _pass_flags(ll_kind, structure, sample)
     need_ll = ll_kind is not None
 
     gp = [_pad2(geno[:, :l], bn, bl), _pad2(geno[:, l:], bn, bl)]
@@ -453,6 +499,8 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
             n_out = 1
         elif ll_kind == "fpop":
             n_out = k
+        elif ll_kind in ("gendiff", "find"):
+            n_out = 1                  # single MH log-ratio column
         else:
             n_out = n_col
         out_shapes.append(jax.ShapeDtypeStruct((np_, n_out), jnp.float32))
@@ -506,6 +554,46 @@ def zq_gen_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
     return r["z"], r["qqnum"], r["ll"], r["zcounts"]
 
 
+@functools.partial(jax.jit, static_argnames=("structure", "interpret"))
+def zq_gendiff_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
+                    structure, interpret=False, u=None):
+    """Sequence point 2, production form: sample z, count per-individual
+    pops, and emit the G-update MH log-ratio directly (one column — the
+    difference of :func:`zq_gen_pass`'s two, computed with ~4x fewer logs).
+
+    Returns (z, qqnum, ll_diff f32[N], zcounts)."""
+    r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair,
+                   None, u, sample=True, ll_kind="gendiff", n_col=2,
+                   structure=structure, full_ll=False, interpret=interpret)
+    return r["z"], r["qqnum"], r["ll"][:, 0], r["zcounts"]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def zq_sample_pass(seed, q, freq, geno, site_valid, *, interpret=False,
+                   u=None):
+    """Sampling-only sequence point 2 (mode 1 production path — the
+    cal_lkh pass is deferred to stored steps via
+    :func:`panel_loglik_mode1_pass`).
+    Returns (z, qqnum, zcounts)."""
+    r = _site_pass(seed, q, freq, geno, site_valid, None, None, None, None,
+                   u, sample=True, ll_kind=None, n_col=0,
+                   structure=True, full_ll=False, interpret=interpret)
+    return r["z"], r["qqnum"], r["zcounts"]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def panel_loglik_mode1_pass(freq, q, geno, site_valid, z, *,
+                            interpret=False):
+    """cal_lkh for mode 1 (log_ld_noselfing_indv, mcmc.c:1869-1890) at the
+    carried z — the deferred stored-step companion of
+    :func:`zq_sample_pass`."""
+    r = _site_pass(jnp.zeros((), jnp.int32), q, freq, geno, site_valid,
+                   None, z, None, None, None, sample=False,
+                   ll_kind="mode1", n_col=0, structure=True, full_ll=True,
+                   interpret=interpret)
+    return r["ll"][:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def zq_mode1_pass(seed, q, freq, geno, site_valid, *, interpret=False,
                   u=None):
@@ -541,20 +629,22 @@ def zq_f_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair, *,
     log-ratio of update_inbreedcoff_POP, mcmc.c:986-1050, corrected).
 
     pop=False (mode 5): ``f_pair`` f32[N, 2]; the third return is
-    ll f32[N, 2] — same-z log-lik sums at (current, proposed) per
-    individual (update_F_IND, mcmc.c:888-910).
+    lldiff f32[N] — the per-individual MH log-ratio
+    log L(f'_i) - log L(f_i) over same-z sites (update_F_IND,
+    mcmc.c:888-910), emitted as one column with the common p0 factors
+    cancelled.
 
-    Returns (z, qqnum, fdiff_or_ll, zcounts).
+    Returns (z, qqnum, fdiff_or_lldiff, zcounts).
     """
     if pop:
         r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, None,
                        f_pair, u, sample=True, ll_kind="fpop", n_col=2,
                        structure=True, full_ll=False, interpret=interpret)
-    else:
-        r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair,
-                       None, u, sample=True, ll_kind="find", n_col=2,
-                       structure=True, full_ll=False, interpret=interpret)
-    return r["z"], r["qqnum"], r["ll"], r["zcounts"]
+        return r["z"], r["qqnum"], r["ll"], r["zcounts"]
+    r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair,
+                   None, u, sample=True, ll_kind="find", n_col=2,
+                   structure=True, full_ll=False, interpret=interpret)
+    return r["z"], r["qqnum"], r["ll"][:, 0], r["zcounts"]
 
 
 @functools.partial(jax.jit, static_argnames=("pop", "interpret"))

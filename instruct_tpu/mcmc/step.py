@@ -62,13 +62,27 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
     normal = (spec.priors.family == PriorFamily.NORMAL
               and spec.mode in (3, 5))
 
+    from instruct_tpu.kernels.dirichlet_pallas import (dirichlet_kla,
+                                                       dirichlet_rows)
+
+    def draw_q(kq, qqnum, alpha):
+        """Q | Z ~ Dirichlet(counts + alpha) via the on-core-PRNG kernel
+        (the [N, K] jax.random.gamma costs ~0.1 ms/step in per-lane key
+        derivation; the kernel runs it as one VPU pass)."""
+        conc = (qqnum + alpha).T                             # [K, N]
+        out = dirichlet_rows(fs.seed_words(kq), conc,
+                             rows_per_group=conc.shape[0])
+        return out.T
+
     def step(state: McmcState, key: jax.Array) -> McmcState:
         kp, ks, kg, kz, ka, kq, kacc = jax.random.split(key, 7)
 
         # P | Z from the counts carried out of the previous zq pass —
-        # no pass over the site tensors needed (update_P, mcmc.c:799-861)
-        freq = up.dirichlet_from_counts(kp, state.zcounts + 1.0,
-                                        data.allele_valid[None])
+        # no pass over the site tensors needed (update_P, mcmc.c:799-861),
+        # and the Dirichlet draw itself is a fused Pallas pass
+        # (kernels/dirichlet_pallas.py)
+        freq = dirichlet_kla(fs.seed_words(kp), state.zcounts + 1.0,
+                             data.allele_valid)
         state = state._replace(freq=freq)
 
         if spec.mode in (4, 5):
@@ -91,28 +105,26 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
 
         seed = fs.seed_words(kz)
         if spec.mode == 1:
-            z, qqnum, ll_indv, zcounts = fs.zq_mode1_pass(
+            # sampling-only pass; cal_lkh is deferred to stored steps
+            z, qqnum, zcounts = fs.zq_sample_pass(
                 seed, state.q, freq, data.geno, data.site_valid)
-            q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
+            q_new = draw_q(kq, qqnum, state.alpha)
             alpha = up.update_alpha(ka, spec, q_new, state.alpha)
             return state._replace(z=z, q=q_new, alpha=alpha,
-                                  zcounts=_recount(z, zcounts),
-                                  loglik_indv=ll_indv,
-                                  loglik_total=ll_indv.sum())
+                                  zcounts=_recount(z, zcounts))
 
-        # modes 2/3: G proposal, fused zq+gen pass, G accept, lkh pass
+        # modes 2/3: G proposal, fused zq+gendiff pass, G accept
         sbar = (state.q @ state.rates if spec.mode == 2 else state.rates)
         gen_prop = up.sample_geometric(kg, sbar, spec.gen_cap)
         wg_pair = jnp.exp2(1.0 - jnp.stack(
             [state.gen, gen_prop], axis=1).astype(jnp.float32))
-        z, qqnum, ll2, zcounts = fs.zq_gen_pass(
+        z, qqnum, ll_diff, zcounts = fs.zq_gendiff_pass(
             seed, state.q, freq, data.geno, data.site_valid, data.hom,
             state.z, wg_pair, structure=structure)
         u = jax.random.uniform(kacc, state.gen.shape, minval=1e-30)
-        gen = jnp.where(jnp.log(u) < ll2[:, 1] - ll2[:, 0],
-                        gen_prop, state.gen)
+        gen = jnp.where(jnp.log(u) < ll_diff, gen_prop, state.gen)
 
-        q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
+        q_new = draw_q(kq, qqnum, state.alpha)
         alpha = up.update_alpha(ka, spec, q_new, state.alpha)
         return state._replace(z=z, q=q_new, alpha=alpha, gen=gen,
                               zcounts=_recount(z, zcounts))
@@ -148,7 +160,7 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
         if spec.mode == 4:
             log_ratio = ll.sum(axis=0) + log_hast            # [K]
         else:
-            log_ratio = ll[:, 1] - ll[:, 0]                  # [N]
+            log_ratio = ll                                   # [N] diff col
             if normal:
                 def pri(f):
                     return (-0.5 * (f - state.prior_mu) ** 2
@@ -163,14 +175,17 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
             mu, s2 = up.update_normal_hyper(
                 jax.random.fold_in(ks, 1), rates, spec.priors)
             state = state._replace(prior_mu=mu, prior_sigma2=s2)
-        q_new = up.dirichlet_from_counts(kq, qqnum + state.alpha)
+        q_new = draw_q(kq, qqnum, state.alpha)
         alpha = up.update_alpha(ka, spec, q_new, state.alpha)
         return state._replace(z=z, q=q_new, alpha=alpha,
                               zcounts=_recount(z, zcounts))
 
     def add_loglik(state: McmcState) -> McmcState:
         if spec.mode == 1:
-            return state               # ll came free with the zq pass
+            ll_indv = fs.panel_loglik_mode1_pass(
+                state.freq, state.q, data.geno, data.site_valid, state.z)
+            return state._replace(loglik_indv=ll_indv,
+                                  loglik_total=ll_indv.sum())
         if spec.mode in (4, 5):
             f = state.rates[:, None]
             ll_indv = fs.panel_loglik_f_pass(

@@ -43,16 +43,24 @@ def main():
               " mean logL =",
               np.asarray(res.posterior_mean.total_ll).round(1).tolist())
 
-    s_f = np.sort(np.asarray(results["fused"].posterior_mean.rates).mean(0))
-    s_x = np.sort(np.asarray(results["xla"].posterior_mean.rates).mean(0))
-    q_f = np.asarray(results["fused"].posterior_mean.q).mean(0)
-    q_x = np.asarray(results["xla"].posterior_mean.q).mean(0)
+    def aligned(res):
+        """Cluster labels are exchangeable and may permute per chain —
+        align every chain by ascending posterior-mean S before averaging
+        (the reference relabels by sorted S too, result_analysis.c:83-87)."""
+        rates = np.asarray(res.posterior_mean.rates)       # [C, K]
+        q = np.asarray(res.posterior_mean.q)               # [C, N, K]
+        order = np.argsort(rates, axis=1)
+        s = np.take_along_axis(rates, order, axis=1).mean(0)
+        qa = np.stack([q[c][:, order[c]] for c in range(q.shape[0])]).mean(0)
+        return s, qa
+
+    s_f, q_f = aligned(results["fused"])
+    s_x, q_x = aligned(results["xla"])
     ll_f = np.asarray(results["fused"].posterior_mean.total_ll).mean()
     ll_x = np.asarray(results["xla"].posterior_mean.total_ll).mean()
 
     ds = np.abs(s_f - s_x).max()
-    # label-align Q by best column permutation per engine run
-    dq = min(np.abs(q_f - q_x).mean(), np.abs(q_f - q_x[:, ::-1]).mean())
+    dq = np.abs(q_f - q_x).mean()
     dll = abs(ll_f - ll_x) / abs(ll_x)
     print(f"|dS|max={ds:.4f}  |dQ|mean={dq:.4f}  |dlogL|rel={dll:.5f}")
     assert ds < 0.06, ds
@@ -61,5 +69,37 @@ def main():
     print("FUSED-vs-XLA POSTERIOR PARITY: OK")
 
 
+def validate_dirichlet_kernel():
+    """On-hardware statistical acceptance of the Pallas Dirichlet sampler
+    (kernels/dirichlet_pallas.py): moments vs the exact Dirichlet at
+    large and small (boost-path) concentrations."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instruct_tpu.kernels.dirichlet_pallas import dirichlet_rows
+    from instruct_tpu.kernels.fused_step import seed_words
+
+    rng = np.random.default_rng(1)
+    for lo, hi, reps, label in [(1.0, 700.0, 400, "large"),
+                                (0.1, 0.9, 1200, "boost")]:
+        conc = jnp.asarray(rng.uniform(lo, hi, (2, 4096)), jnp.float32)
+        outs = jax.jit(jax.vmap(
+            lambda s: dirichlet_rows(s, conc, rows_per_group=2)))(
+            jax.vmap(seed_words)(jax.random.split(jax.random.key(2), reps)))
+        x = np.asarray(outs)[:, 0, :]
+        cs = np.asarray(conc)
+        a0 = cs.sum(0)
+        want_m = cs[0] / a0
+        want_v = cs[0] * cs[1] / (a0 ** 2 * (a0 + 1))
+        zm = (x.mean(0) - want_m) / np.sqrt(want_v / reps)
+        # max |z| over 4096 cells ~ 3.9 under H0; allow 5
+        assert np.abs(zm).max() < 5.0, (label, np.abs(zm).max())
+        print(f"dirichlet kernel [{label}]: max |mean z| = "
+              f"{np.abs(zm).max():.2f} over {cs.shape[1]} cells "
+              f"x {reps} reps: OK")
+
+
 if __name__ == "__main__":
     main()
+    validate_dirichlet_kernel()

@@ -157,10 +157,11 @@ def test_zq_f_pass_matches_xla(setup, pop):
         np.testing.assert_allclose(np.asarray(ll), want, rtol=2e-4,
                                    atol=2e-3)
     else:
-        for c in range(2):
-            want = (lp(fp[:, c][:, None]) * mask).sum(1)
-            np.testing.assert_allclose(np.asarray(ll[:, c]), want,
-                                       rtol=2e-4, atol=2e-3)
+        # single diff column: log L(f') - log L(f) over same-z sites
+        want = ((lp(fp[:, 1][:, None]) - lp(fp[:, 0][:, None]))
+                * mask).sum(1)
+        np.testing.assert_allclose(np.asarray(ll), want, rtol=2e-4,
+                                   atol=2e-3)
 
 
 @pytest.mark.parametrize("pop", [True, False])
@@ -207,3 +208,45 @@ def test_carry_counts_vmem_gate(setup, monkeypatch):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(recount),
                                np.asarray(full["zcounts"]), atol=1e-4)
+
+
+@pytest.mark.parametrize("type_freq", [0, 1])
+def test_zq_gendiff_pass_matches_gen_difference(setup, type_freq):
+    """The production single-column G log-ratio equals the difference of
+    the two zq_gen_pass columns (same z draw, same counts)."""
+    data, freq, q, z_old, gen, gen_prop, k, a = setup
+    u = jax.random.uniform(jax.random.key(13), data.geno.shape,
+                           minval=1e-6, maxval=1 - 1e-6)
+    wg_pair = jnp.exp2(1.0 - jnp.stack([gen, gen_prop], 1)
+                       .astype(jnp.float32))
+    structure = type_freq == 1
+    z1, qq1, ll2, zc1 = fs.zq_gen_pass(
+        0, q, freq, data.geno, data.site_valid, data.hom, z_old, wg_pair,
+        structure=structure, interpret=True, u=u)
+    z2, qq2, diff, zc2 = fs.zq_gendiff_pass(
+        0, q, freq, data.geno, data.site_valid, data.hom, z_old, wg_pair,
+        structure=structure, interpret=True, u=u)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_allclose(np.asarray(qq1), np.asarray(qq2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(diff),
+                               np.asarray(ll2[:, 1] - ll2[:, 0]),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_zq_sample_pass_and_deferred_mode1_loglik(setup):
+    """Sampling-only pass + deferred cal_lkh reproduce zq_mode1_pass."""
+    data, freq, q, z_old, gen, gen_prop, k, a = setup
+    u = jax.random.uniform(jax.random.key(21), data.geno.shape,
+                           minval=1e-6, maxval=1 - 1e-6)
+    z1, qq1, ll1, _ = fs.zq_mode1_pass(0, q, freq, data.geno,
+                                       data.site_valid, interpret=True,
+                                       u=u)
+    z2, qq2, _zc = fs.zq_sample_pass(0, q, freq, data.geno,
+                                     data.site_valid, interpret=True, u=u)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_allclose(np.asarray(qq1), np.asarray(qq2), atol=1e-4)
+    ll2 = fs.panel_loglik_mode1_pass(freq, q, data.geno, data.site_valid,
+                                     jnp.asarray(z2, jnp.int8),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(ll2), np.asarray(ll1),
+                               rtol=2e-4, atol=2e-3)
