@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-af", dest="data_fmt", type=int, default=0)
     p.add_argument("--chain-shards", type=int, default=None)
     p.add_argument("--data-shards", type=int, default=None)
+    p.add_argument("--mesh-mode", default="auto",
+                   choices=["auto", "shard_map", "gspmd"],
+                   help="loci-axis partitioning: explicit shard_map SPMD "
+                        "(default; fused kernels + named-axis psums) or "
+                        "GSPMD auto-partitioning")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--sampler", default="gibbs",
@@ -171,6 +176,7 @@ def main(argv=None) -> int:
             res = run_mcmc(panel.data, spec, sched, key,
                            init_rates=init_rates,
                            track_freq=bool(args.print_freq), mesh=mesh,
+                           mesh_mode=args.mesh_mode,
                            checkpoint_dir=args.checkpoint_dir,
                            checkpoint_every=args.checkpoint_every,
                            progress_every=progress,

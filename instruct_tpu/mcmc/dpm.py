@@ -289,7 +289,7 @@ def stick_sweep_inbreeding(key, table: DpmTable, ll_grid, alpha: float,
     return DpmTable(values, counts, assign)
 
 
-def build_dpm_update(spec: ModelSpec, data: Dataset):
+def build_dpm_update(spec: ModelSpec, data: Dataset, axis_name=None):
     """Return `dpm_update(key, state) -> state` plugging the DP sweep into
     the mode-3/5 step (mcmc.c:337-342, 423-428): after the sweep, each
     individual's rate is its table's value.
@@ -320,7 +320,11 @@ def build_dpm_update(spec: ModelSpec, data: Dataset):
             else:
                 table = crp_sweep_selfing(key, table, state.gen, alpha)
         else:
+            # the grid curve sums over loci -> psummed under loci sharding;
+            # the CRP/stick draws are then replicated (same keys)
             ll_grid = f_loglik_grid(spec, data, state.freq, state.z)
+            if axis_name is not None:
+                ll_grid = jax.lax.psum(ll_grid, axis_name)
             if t_max > 0:
                 table = stick_sweep_inbreeding(key, table, ll_grid, alpha,
                                                t_max)

@@ -59,7 +59,7 @@ class RunResult:
 
 
 def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
-                  track_freq: bool):
+                  track_freq: bool, axis_name=None):
     """Returns (init_chain, run_segment): per-chain initialisation and a
     scan over an arbitrary index window [start, start+len) — the unit of
     both the single-shot path and the checkpointed segmented path.
@@ -69,7 +69,11 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
     would embed the genotype tensors as program CONSTANTS, which caps the
     panel size at the compiler's request limit (a 10k x 50k panel is ~1 GB)
     and bloats every compile.  The tetraploid builder precomputes host-side
-    combinatoric tables from concrete arrays, so it keeps the closure."""
+    combinatoric tables from concrete arrays, so it keeps the closure.
+
+    With ``axis_name`` the returned functions expect to run inside a
+    shard_map whose named loci axis is ``axis_name`` and whose panel
+    argument is the device-local loci block (parallel/loci_shard.py)."""
     from instruct_tpu.mcmc.step import build_step_parts
     check_at = (-1 if (spec.mode == 0 and spec.ploid == 2)
                 else sched.nstep_check_empty_cluster)
@@ -80,13 +84,16 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
     def init_chain(key: jax.Array, init_rates, rt_data: Dataset):
         k_init, k_steps = jax.random.split(key)
         state = init_state(k_init, spec,
-                           data if tetra else rt_data, init_rates)
-        accum = init_accum(spec, sched, data, track_freq)
+                           data if tetra else rt_data, init_rates,
+                           axis_name=axis_name)
+        accum = init_accum(spec, sched, data if tetra else rt_data,
+                           track_freq)
         return state, accum, k_steps
 
     def run_segment(state, accum, k_steps, idxs, rt_data: Dataset):
         step_core, add_loglik = (tetra_parts if tetra
-                                 else build_step_parts(spec, rt_data))
+                                 else build_step_parts(spec, rt_data,
+                                                       axis_name))
         last_idx = idxs[-1]
 
         def body(carry, step_idx):
@@ -125,6 +132,7 @@ def run_mcmc(
     progress_every: Optional[int] = None,
     progress_fn=None,
     jsonl_log: Optional[str] = None,
+    mesh_mode: str = "auto",
 ) -> RunResult:
     """Run ``sched.n_chains`` chains and return streaming posterior moments.
 
@@ -133,9 +141,23 @@ def run_mcmc(
     otherwise each chain draws U(0,1) starts.
 
     With ``mesh`` (a ("chain","data") `jax.sharding.Mesh`), chains are
-    sharded over the "chain" axis and the loci axis over "data"; GSPMD
-    propagates the shardings through the step and inserts the collectives
-    (psum of q-counts / log-liks across loci shards).
+    sharded over the "chain" axis and the loci axis over "data".
+
+    ``mesh_mode`` selects how a nontrivial "data" axis is partitioned:
+
+    * "auto" / "shard_map" — explicit SPMD: the panel is split into
+      contiguous per-device loci blocks and the step runs inside a
+      shard_map with named-axis psums of the per-individual counts and MH
+      log-ratio columns (parallel/loci_shard.py).  The fused Pallas
+      kernels stay usable (each device runs them on its local block), the
+      collective set is auditable, and site-level PRNG streams are
+      shard-folded — so trajectories differ from the unsharded run by
+      design (statistically equivalent; posterior parity is tested).
+      Tetraploid panels fall back to GSPMD ("auto") or raise
+      ("shard_map").
+    * "gspmd" — GSPMD auto-partitioning of the XLA path from input
+      shardings (bitwise-identical to the unsharded run, but incompatible
+      with the fused Pallas custom calls).
     """
     n_chains = sched.n_chains
     r = spec.n_rates(data.n_indv)
@@ -150,6 +172,8 @@ def run_mcmc(
         jnp.arange(n_chains))
 
     chain_shardmap = False
+    data_shardmap = False
+    n_ds = 1
     if mesh is not None:
         from instruct_tpu.parallel.mesh import (CHAIN_AXIS, DATA_AXIS,
                                                 chain_sharding,
@@ -161,38 +185,117 @@ def run_mcmc(
         # chains locally, so the fused Pallas kernels work multi-device and
         # there is ZERO communication in the step loop.
         chain_shardmap = (n_ds == 1 and n_cs > 1 and n_chains % n_cs == 0)
-        if mesh.devices.size > 1 and not chain_shardmap:
-            # GSPMD cannot auto-partition the fused Pallas custom calls;
-            # under a loci-sharded mesh use the XLA path (the kernels are
-            # loci-local and could be shard_map'ed too — future work).
+        # Loci sharding: explicit shard_map SPMD (default) or GSPMD.
+        if n_ds > 1 and mesh_mode in ("auto", "shard_map"):
+            data_shardmap = spec.ploid == 2 and n_chains % n_cs == 0
+            if not data_shardmap and mesh_mode == "shard_map":
+                raise ValueError(
+                    "mesh_mode='shard_map' requires a diploid panel and "
+                    f"n_chains divisible by the '{CHAIN_AXIS}' axis")
+        if (mesh.devices.size > 1 and not chain_shardmap
+                and not data_shardmap):
+            # GSPMD fallback: it cannot partition the fused Pallas custom
+            # calls, so force the XLA path.
             if spec.use_pallas is True:
                 raise ValueError(
                     "use_pallas=True cannot be combined with a sharded "
-                    f"'{DATA_AXIS}' mesh axis ({n_ds} shards): GSPMD "
-                    "cannot partition the fused Pallas custom calls. "
-                    "Use use_pallas=None/False (XLA path) for loci "
-                    "sharding, or a pure chain-parallel mesh "
-                    f"(n_chains divisible by the '{CHAIN_AXIS}' axis).")
+                    f"'{DATA_AXIS}' mesh axis ({n_ds} shards) under "
+                    "mesh_mode='gspmd': GSPMD cannot partition the fused "
+                    "Pallas custom calls. Use mesh_mode='auto' (explicit "
+                    "shard_map loci sharding, fused kernels stay on), "
+                    "use_pallas=None/False (XLA path), or a pure "
+                    "chain-parallel mesh.")
             spec = dataclasses.replace(spec, use_pallas=False)
-        if not chain_shardmap:
+        if not chain_shardmap and not data_shardmap:
             data = shard_dataset(mesh, data)
-        # chain_shardmap: the panel is a replicated closure constant of the
-        # shard_map body — explicit NamedShardings would clash with the
-        # Manual mesh context inside the region.
-        if n_chains % mesh.devices.shape[0] == 0 or chain_shardmap:
+        # shard_map paths: the panel is an explicit P(DATA)-spec argument
+        # (data path) or a replicated closure constant (chain path) —
+        # explicit NamedShardings would clash with the Manual mesh context.
+        if n_chains % mesh.devices.shape[0] == 0 or chain_shardmap \
+                or data_shardmap:
             cs = chain_sharding(mesh)
             chain_keys = jax.device_put(chain_keys, cs)
             init_rates = jax.device_put(init_rates, cs)
 
-    init_chain, run_segment = _chain_runner(spec, sched, data, track_freq)
+    init_chain, run_segment = _chain_runner(
+        spec, sched, data, track_freq,
+        axis_name=(DATA_AXIS if data_shardmap else None))
 
     def per_chain_init(key, rates_row, rt_data):
         rates0 = None if none_rates else rates_row[:r]
         return init_chain(key, rates0, rt_data)
 
-    vinit = jax.jit(jax.vmap(per_chain_init, in_axes=(0, 0, None)))
+    if data_shardmap:
+        from instruct_tpu.parallel import loci_shard as ls
+        from instruct_tpu.parallel.mesh import get_shard_map
+        shard_map = get_shard_map()
+        from jax.sharding import PartitionSpec as P
+        from instruct_tpu.mcmc.accumulators import TrackedStats
+        cp, dp = P(CHAIN_AXIS), P(DATA_AXIS)
+        data = ls.stack_loci(data, n_ds)     # leading shard axis, P(dp)
+
+        has_zc = spec.mode in (1, 2, 3, 4, 5)
+        state_spec = McmcState(
+            freq=P(CHAIN_AXIS, None, DATA_AXIS, None),
+            z=P(CHAIN_AXIS, None, DATA_AXIS),
+            zz=cp, q=cp, alpha=cp, rates=cp, ais_state=cp, gen=cp,
+            loglik_indv=cp, loglik_total=cp, dpm_values=cp, dpm_counts=cp,
+            dpm_assign=cp, prior_mu=cp, prior_sigma2=cp,
+            freq2=None, geno=None,
+            zcounts=(P(CHAIN_AXIS, None, DATA_AXIS, None)
+                     if has_zc else None))
+        stats_spec = TrackedStats(
+            total_ll=cp, indv_ll=cp, q=cp, rates=cp, gen=cp,
+            freq=(P(CHAIN_AXIS, None, DATA_AXIS, None)
+                  if track_freq else cp))
+        accum_spec = ChainAccum(count=cp, mean=stats_spec,
+                                mean_sq=stats_spec, convg_ld=cp,
+                                empty_cluster=cp)
+        data_spec = Dataset(geno=dp, site_valid=dp, allele_valid=dp,
+                            hom=dp, distinct=None, n_distinct=None)
+
+        def _init_body(kdata, rates_rows, stacked):
+            rt = ls.local_view(stacked)
+
+            def one(kd, rrow):
+                st, ac, ks = per_chain_init(jax.random.wrap_key_data(kd),
+                                            rrow, rt)
+                return st, ac, jax.random.key_data(ks)
+
+            return jax.vmap(one)(kdata, rates_rows)
+
+        _init_sm = shard_map(_init_body, mesh=mesh,
+                             in_specs=(cp, cp, data_spec),
+                             out_specs=(state_spec, accum_spec, cp))
+
+        def _vinit(keys, rates_rows, stacked):
+            st, ac, kd = _init_sm(jax.random.key_data(keys), rates_rows,
+                                  stacked)
+            return st, ac, jax.random.wrap_key_data(kd)
+
+        vinit = jax.jit(_vinit)
+
+        def _seg_body(states, accums, kdata, idxs, stacked):
+            rt = ls.local_view(stacked)
+            kstep = jax.random.wrap_key_data(kdata)
+            return jax.vmap(run_segment, in_axes=(0, 0, 0, None, None))(
+                states, accums, kstep, idxs, rt)
+
+        _seg_sm = shard_map(_seg_body, mesh=mesh,
+                            in_specs=(state_spec, accum_spec, cp, P(),
+                                      data_spec),
+                            out_specs=(state_spec, accum_spec))
+
+        def _vseg(states, accums, kstep, idxs, stacked):
+            return _seg_sm(states, accums, jax.random.key_data(kstep),
+                           idxs, stacked)
+
+        vseg = jax.jit(_vseg)
+    else:
+        vinit = jax.jit(jax.vmap(per_chain_init, in_axes=(0, 0, None)))
     if chain_shardmap:
-        from jax.experimental.shard_map import shard_map
+        from instruct_tpu.parallel.mesh import get_shard_map
+        shard_map = get_shard_map()
         from jax.sharding import PartitionSpec as P
         cp = P(CHAIN_AXIS)
 
@@ -203,14 +306,14 @@ def run_mcmc(
 
         _shmapped = shard_map(_local_seg, mesh=mesh,
                               in_specs=(cp, cp, cp, P(), P()),
-                              out_specs=(cp, cp), check_rep=False)
+                              out_specs=(cp, cp))
 
         def _vseg(states, accums, kstep, idxs, rt_data):
             return _shmapped(states, accums, jax.random.key_data(kstep),
                              idxs, rt_data)
 
         vseg = jax.jit(_vseg)
-    else:
+    elif not data_shardmap:
         vseg = jax.jit(jax.vmap(run_segment,
                                 in_axes=(0, 0, 0, None, None)))
 
@@ -265,11 +368,29 @@ def run_mcmc(
                     # P-update counts): recompute from the restored z
                     # rather than trusting the saved value, so checkpoints
                     # transfer across the fused/XLA paths (ADVICE r1).
-                    recount = jax.jit(jax.vmap(
-                        lambda z, zz: up.allele_pop_counts(
-                            spec, data, z, zz), in_axes=(0, 0)))
-                    states = states._replace(
-                        zcounts=recount(states.z, states.zz))
+                    if data_shardmap:
+                        from instruct_tpu.parallel.mesh import (
+                            get_shard_map)
+                        _sm = get_shard_map()
+
+                        def _rc_body(z, zz, stacked):
+                            rt = ls.local_view(stacked)
+                            return jax.vmap(
+                                lambda zi, zzi: up.allele_pop_counts(
+                                    spec, rt, zi, zzi))(z, zz)
+
+                        recount = jax.jit(_sm(
+                            _rc_body, mesh=mesh,
+                            in_specs=(state_spec.z, cp, data_spec),
+                            out_specs=state_spec.zcounts))
+                        states = states._replace(
+                            zcounts=recount(states.z, states.zz, data))
+                    else:
+                        recount = jax.jit(jax.vmap(
+                            lambda z, zz: up.allele_pop_counts(
+                                spec, data, z, zz), in_axes=(0, 0)))
+                        states = states._replace(
+                            zcounts=recount(states.z, states.zz))
         kstep = jax.random.wrap_key_data(jnp.asarray(kdata))
         seg_len = min(x for x in (checkpoint_every, progress_every,
                                   sched.n_iter) if x is not None)

@@ -63,6 +63,7 @@ def init_state(
     spec: ModelSpec,
     data: Dataset,
     init_rates: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> McmcState:
     """Draw the initial state for one chain.
 
@@ -95,9 +96,13 @@ def init_state(
         q = jnp.zeros((0, 0), jnp.float32)
         alpha = jnp.zeros((), jnp.float32)
     else:
+        from instruct_tpu.mcmc import updates as up  # runtime: no cycle
         zz = jnp.zeros((0,), jnp.int32)
-        z = jax.random.randint(kz, (n, l * p), 0, k, dtype=jnp.int8)
-        counts = masked_z_counts(z, data, k)
+        # z draws are site-local (shard-folded key under loci sharding);
+        # q/alpha are replicated (global psummed counts, unfolded keys)
+        z = jax.random.randint(up.shard_key(kz, axis_name), (n, l * p), 0, k,
+                               dtype=jnp.int8)
+        counts = up._psum(masked_z_counts(z, data, k), axis_name)
         alpha = jax.random.uniform(kal) * spec.alpha_prior_max
         q = _dirichlet(kq, counts + alpha)
 

@@ -20,8 +20,10 @@ from instruct_tpu.mcmc.state import McmcState
 from instruct_tpu.model import likelihood as lk
 
 
-def _cal_lkh(spec: ModelSpec, data: Dataset, state: McmcState) -> McmcState:
-    """cal_lkh (mcmc.c:1916-1942): per-individual and total log-lik."""
+def _cal_lkh(spec: ModelSpec, data: Dataset, state: McmcState,
+             axis_name=None) -> McmcState:
+    """cal_lkh (mcmc.c:1916-1942): per-individual and total log-lik.
+    Per-individual sums over loci are psummed under loci sharding."""
     if spec.mode == 0 and spec.ploid == 2:
         ll_matrix = lk.loglik_matrix_nopop_admix(data, state.freq)
         indv = jnp.take_along_axis(ll_matrix, state.zz[:, None], axis=1)[:, 0]
@@ -29,6 +31,7 @@ def _cal_lkh(spec: ModelSpec, data: Dataset, state: McmcState) -> McmcState:
         indv = lk.per_indv_loglik(spec, data, state.freq, state.z, state.q,
                                   state.gen if spec.has_selfing else None,
                                   state.rates if state.rates.size else None)
+    indv = up._psum(indv, axis_name)
     return state._replace(loglik_indv=indv, loglik_total=indv.sum())
 
 
@@ -49,11 +52,17 @@ def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
     return on_tpu if spec.use_pallas is None else bool(spec.use_pallas)
 
 
-def _build_fused_parts(spec: ModelSpec, data: Dataset):
+def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     """Fused-path (step_core, add_loglik): the sweep without the final
     cal_lkh pass, plus the pass as a separate function so the driver can
     run it only on stored/reported steps (the log-lik is a pure observable
-    — no update conditions on it — so skipping it off-sample is exact)."""
+    — no update conditions on it — so skipping it off-sample is exact).
+
+    Under loci sharding (``axis_name`` set, parallel/loci_shard.py) the
+    kernels run on the device-local panel; site-level PRNG seeds are
+    shard-folded, replicated draws (Q, alpha, S/F/G proposals + accepts)
+    keep the unfolded key, and the per-individual count/log-ratio columns
+    are psummed — the same collective set as the XLA path."""
     from instruct_tpu.kernels import fused_step as fs
 
     k = spec.n_pops
@@ -68,7 +77,9 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
     def draw_q(kq, qqnum, alpha):
         """Q | Z ~ Dirichlet(counts + alpha) via the on-core-PRNG kernel
         (the [N, K] jax.random.gamma costs ~0.1 ms/step in per-lane key
-        derivation; the kernel runs it as one VPU pass)."""
+        derivation; the kernel runs it as one VPU pass).  qqnum must be
+        the GLOBAL (psummed) counts; the unfolded key keeps the draw
+        replicated across loci shards."""
         conc = (qqnum + alpha).T                             # [K, N]
         out = dirichlet_rows(fs.seed_words(kq), conc,
                              rows_per_group=conc.shape[0])
@@ -76,6 +87,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
 
     def step(state: McmcState, key: jax.Array) -> McmcState:
         kp, ks, kg, kz, ka, kq, kacc = jax.random.split(key, 7)
+        kp = up.shard_key(kp, axis_name)
+        kz = up.shard_key(kz, axis_name)
 
         # P | Z from the counts carried out of the previous zq pass —
         # no pass over the site tensors needed (update_P, mcmc.c:799-861),
@@ -108,7 +121,7 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
             # sampling-only pass; cal_lkh is deferred to stored steps
             z, qqnum, zcounts = fs.zq_sample_pass(
                 seed, state.q, freq, data.geno, data.site_valid)
-            q_new = draw_q(kq, qqnum, state.alpha)
+            q_new = draw_q(kq, up._psum(qqnum, axis_name), state.alpha)
             alpha = up.update_alpha(ka, spec, q_new, state.alpha)
             return state._replace(z=z, q=q_new, alpha=alpha,
                                   zcounts=_recount(z, zcounts))
@@ -121,6 +134,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
         z, qqnum, ll_diff, zcounts = fs.zq_gendiff_pass(
             seed, state.q, freq, data.geno, data.site_valid, data.hom,
             state.z, wg_pair, structure=structure)
+        qqnum = up._psum(qqnum, axis_name)
+        ll_diff = up._psum(ll_diff, axis_name)
         u = jax.random.uniform(kacc, state.gen.shape, minval=1e-30)
         gen = jnp.where(jnp.log(u) < ll_diff, gen_prop, state.gen)
 
@@ -157,6 +172,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
         z, qqnum, ll, zcounts = fs.zq_f_pass(
             seed, state.q, state.freq, data.geno, data.site_valid,
             data.hom, state.z, f_pair, pop=(spec.mode == 4))
+        qqnum = up._psum(qqnum, axis_name)
+        ll = up._psum(ll, axis_name)
         if spec.mode == 4:
             log_ratio = ll.sum(axis=0) + log_hast            # [K]
         else:
@@ -184,27 +201,30 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset):
         if spec.mode == 1:
             ll_indv = fs.panel_loglik_mode1_pass(
                 state.freq, state.q, data.geno, data.site_valid, state.z)
-            return state._replace(loglik_indv=ll_indv,
-                                  loglik_total=ll_indv.sum())
-        if spec.mode in (4, 5):
+        elif spec.mode in (4, 5):
             f = state.rates[:, None]
             ll_indv = fs.panel_loglik_f_pass(
                 state.freq, data.geno, data.site_valid, data.hom, state.z,
                 f, pop=(spec.mode == 4))
-            return state._replace(loglik_indv=ll_indv,
-                                  loglik_total=ll_indv.sum())
-        wg = jnp.exp2(1.0 - state.gen.astype(jnp.float32))[:, None]
-        ll_indv = fs.panel_loglik_pass(state.freq, state.q, data.geno,
-                                       data.site_valid, data.hom, state.z,
-                                       wg, structure=structure)
+        else:
+            wg = jnp.exp2(1.0 - state.gen.astype(jnp.float32))[:, None]
+            ll_indv = fs.panel_loglik_pass(
+                state.freq, state.q, data.geno, data.site_valid, data.hom,
+                state.z, wg, structure=structure)
+        ll_indv = up._psum(ll_indv, axis_name)
         return state._replace(loglik_indv=ll_indv,
                               loglik_total=ll_indv.sum())
 
     return step, add_loglik
 
 
-def build_step_parts(spec: ModelSpec, data: Dataset):
+def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     """Return `(step_core, add_loglik)` for the given mode.
+
+    ``axis_name`` names the loci-shard mesh axis when the step runs inside
+    a shard_map over a data-parallel mesh (parallel/loci_shard.py): the
+    per-individual reductions become psums and site-level PRNG streams are
+    shard-folded; ``None`` (default) is the unsharded program.
 
     ``step_core(state, key)`` runs the full parameter sweep;
     ``add_loglik(state)`` fills `loglik_indv`/`loglik_total` (cal_lkh,
@@ -225,28 +245,33 @@ def build_step_parts(spec: ModelSpec, data: Dataset):
     fused Pallas path (see :func:`_build_fused_parts`).
     """
     if spec.ploid == 4:
+        if axis_name is not None:
+            raise NotImplementedError(
+                "loci sharding of the tetraploid engine is not supported; "
+                "use a chain-parallel mesh for ploid=4")
         from instruct_tpu.tetra.engine import build_tetra_step
         return build_tetra_step(spec, data), (lambda s: s)
     if spec.mode not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"unknown mode {spec.mode}")
     if _use_fused(spec, data):
-        return _build_fused_parts(spec, data)
+        return _build_fused_parts(spec, data, axis_name)
 
     dpm = (spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5))
     normal = (spec.priors.family == PriorFamily.NORMAL
               and spec.mode in (3, 5))
     if dpm:
         from instruct_tpu.mcmc.dpm import build_dpm_update
-        dpm_update = build_dpm_update(spec, data)
+        dpm_update = build_dpm_update(spec, data, axis_name)
 
     def step(state: McmcState, key: jax.Array) -> McmcState:
         kp, ks, kg, kz, ka = jax.random.split(key, 5)
 
-        freq = up.update_freq(kp, spec, data, state.z, state.zz)
+        freq = up.update_freq(kp, spec, data, state.z, state.zz,
+                              axis_name=axis_name)
         state = state._replace(freq=freq)
 
         if spec.mode == 0:
-            zz = up.update_z_noadmix(kz, data, freq)
+            zz = up.update_z_noadmix(kz, data, freq, axis_name=axis_name)
             return state._replace(zz=zz)
 
         if spec.mode == 2:
@@ -268,7 +293,8 @@ def build_step_parts(spec: ModelSpec, data: Dataset):
                     state = state._replace(prior_mu=mu, prior_sigma2=s2)
         elif spec.mode == 4:
             rates, ais = up.update_f_pop(ks, spec, data, freq, state.z,
-                                         state.rates, state.ais_state)
+                                         state.rates, state.ais_state,
+                                         axis_name=axis_name)
             state = state._replace(rates=rates, ais_state=ais)
         elif spec.mode == 5:
             if dpm:
@@ -277,7 +303,8 @@ def build_step_parts(spec: ModelSpec, data: Dataset):
                 pm = state.prior_mu if normal else None
                 ps2 = state.prior_sigma2 if normal else None
                 rates = up.update_f_ind(ks, spec, data, freq, state.z,
-                                        state.rates, pm, ps2)
+                                        state.rates, pm, ps2,
+                                        axis_name=axis_name)
                 state = state._replace(rates=rates)
                 if normal:
                     mu, s2 = up.update_normal_hyper(
@@ -286,16 +313,17 @@ def build_step_parts(spec: ModelSpec, data: Dataset):
 
         if spec.has_selfing:
             gen = up.update_gen(kg, spec, data, freq, state.z, state.q,
-                                state.rates, state.gen)
+                                state.rates, state.gen, axis_name=axis_name)
             state = state._replace(gen=gen)
 
-        z, q, _ = up.update_zq(kz, spec, data, freq, state.q, state.alpha)
+        z, q, _ = up.update_zq(kz, spec, data, freq, state.q, state.alpha,
+                               axis_name=axis_name)
         state = state._replace(z=z, q=q)
 
         alpha = up.update_alpha(ka, spec, q, state.alpha)
         return state._replace(alpha=alpha)
 
-    return step, (lambda s: _cal_lkh(spec, data, s))
+    return step, (lambda s: _cal_lkh(spec, data, s, axis_name))
 
 
 def build_step(spec: ModelSpec, data: Dataset) -> Callable:

@@ -44,6 +44,25 @@ def _slog(x):
     return jnp.log(jnp.maximum(x, _EPS))
 
 
+def _psum(x, axis_name):
+    """Cross-shard sum over the loci ("data") mesh axis; identity when the
+    step runs unsharded.  These calls are the ONLY communication in the
+    sharded step (parallel/loci_shard.py)."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def shard_key(key, axis_name):
+    """Per-shard PRNG stream for draws whose sites are device-local (z,
+    P): fold the shard index in so shards never replay each other's
+    uniform planes.  Draws that must be REPLICATED across shards (Q,
+    alpha, S/F proposals, MH accept uniforms) use the unfolded key — their
+    inputs are psummed, so identical keys keep them bitwise identical on
+    every shard."""
+    if axis_name is None:
+        return key
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
 def dirichlet_from_counts(key, conc, valid=None):
     """Sample Dirichlet(conc) rows by gamma-normalisation, respecting a
     padding mask (replaces rdirich, random.c — gamma draws + normalize)."""
@@ -93,12 +112,15 @@ def allele_pop_counts(spec: ModelSpec, data: Dataset, z, zz) -> jnp.ndarray:
     return jnp.stack(out)                                   # [K, L, A]
 
 
-def update_freq(key, spec: ModelSpec, data: Dataset, z, zz) -> jnp.ndarray:
+def update_freq(key, spec: ModelSpec, data: Dataset, z, zz,
+                axis_name=None) -> jnp.ndarray:
     """P | Z ~ Dirichlet(counts + 1) per (pop, locus), padded alleles masked
     (update_P, mcmc.c:846-857; the +1 pseudocount is lambda=1.0 at
-    mcmc.c:805)."""
+    mcmc.c:805).  Under loci sharding the counts and the draw are fully
+    local (per-locus); only the key is shard-folded."""
     counts = allele_pop_counts(spec, data, z, zz)
-    return dirichlet_from_counts(key, counts + 1.0, data.allele_valid[None])
+    return dirichlet_from_counts(shard_key(key, axis_name), counts + 1.0,
+                                 data.allele_valid[None])
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +128,8 @@ def update_freq(key, spec: ModelSpec, data: Dataset, z, zz) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
-              init: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+              init: bool = False, axis_name=None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gibbs z per allele copy then Q | Z ~ Dirichlet(counts + alpha)
     (update_ZQ, mcmc.c:1122-1199).
 
@@ -114,9 +137,12 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
     at init (init_flag=1) z is uniform over pops — mcmc.c:1144.
     z is flat i32[N, S]; sampling is inverse-CDF over the tiny K axis as a
     static loop, so no [., K]-trailing tensor is ever materialized.
-    Returns (z, q, qqnum).
+    Under loci sharding the z draws are shard-local; the pop counts are
+    psummed before the (replicated) Q draw.  Returns (z, q, qqnum) with
+    qqnum the GLOBAL counts.
     """
     kz, kq = jax.random.split(key)
+    kz = shard_key(kz, axis_name)
     n, s = data.geno.shape
     k = spec.n_pops
     a = data.allele_valid.shape[1]
@@ -134,6 +160,7 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
         from instruct_tpu.kernels.zq_pallas import zq_sample_counts
         z, qqnum = zq_sample_counts(seed_words(kz), q, freq, data.geno,
                                     data.site_valid, n_pops=k)
+        qqnum = _psum(qqnum, axis_name)
         q_new = dirichlet_from_counts(kq, qqnum + alpha)
         return z.astype(jnp.int8), q_new, qqnum
     else:
@@ -148,15 +175,16 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
         for kk in range(k - 1):
             cum = cum + terms[kk]
             z = z + (u > cum).astype(jnp.int8)
-    qqnum = masked_z_counts(z, data, k)
+    qqnum = _psum(masked_z_counts(z, data, k), axis_name)
     q_new = dirichlet_from_counts(kq, qqnum + alpha)
     return z, q_new, qqnum
 
 
-def update_z_noadmix(key, data: Dataset, freq) -> jnp.ndarray:
+def update_z_noadmix(key, data: Dataset, freq, axis_name=None) -> jnp.ndarray:
     """Mode 0: one z per individual, Gibbs over K with full-genome log-liks
-    (update_Z, mcmc.c:1094-1119 via log_ld_indv_K)."""
-    ll = lk.loglik_matrix_nopop_admix(data, freq)            # [N, K]
+    (update_Z, mcmc.c:1094-1119 via log_ld_indv_K).  The [N, K] log-lik
+    matrix sums over loci -> psummed; the draw is replicated."""
+    ll = _psum(lk.loglik_matrix_nopop_admix(data, freq), axis_name)  # [N, K]
     return jax.random.categorical(key, ll, axis=-1)
 
 
@@ -362,7 +390,7 @@ def sample_geometric(key, sbar, cap):
 
 
 def update_gen(key, spec: ModelSpec, data: Dataset, freq, z, q, rates,
-               gen) -> jnp.ndarray:
+               gen, axis_name=None) -> jnp.ndarray:
     """Modes 2/3: MH on the per-individual selfing-generation counts
     (update_G, mcmc.c:1053-1091).
 
@@ -379,8 +407,9 @@ def update_gen(key, spec: ModelSpec, data: Dataset, freq, z, q, rates,
     prop = sample_geometric(kg, sbar, spec.gen_cap)
     ll_prop = lk.per_indv_loglik(spec, data, freq, z, q, prop, rates)
     ll_cur = lk.per_indv_loglik(spec, data, freq, z, q, gen, rates)
+    diff = _psum(ll_prop - ll_cur, axis_name)
     u = jax.random.uniform(ku, gen.shape, minval=_EPS)
-    return jnp.where(jnp.log(u) < ll_prop - ll_cur, prop, gen)
+    return jnp.where(jnp.log(u) < diff, prop, gen)
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +428,7 @@ def _f_site_terms(spec, data, freq, z):
 
 
 def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
-                 ais_state):
+                 ais_state, axis_name=None):
     """Mode 4: MH on per-subpop inbreeding coefficients
     (update_inbreedcoff_POP, mcmc.c:986-1050).
 
@@ -425,9 +454,9 @@ def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
     ll_cur = _slog(lk.genofreq_inbreeding(p0, p1, data.hom, f_cur))
     ll_prop = _slog(lk.genofreq_inbreeding(p0, p1, data.hom, f_prop))
     diff = jnp.where(mask, ll_prop - ll_cur, 0.0)            # [N, L]
-    delta = jnp.stack([
+    delta = _psum(jnp.stack([
         jnp.where(z0 == kk, diff, 0.0).sum()
-        for kk in range(spec.n_pops)])                       # [K]
+        for kk in range(spec.n_pops)]), axis_name)           # [K]
     u = jax.random.uniform(key, rates.shape, minval=_EPS)
     accept = jnp.log(u) < delta + log_hast
     return (jnp.where(accept, prop, rates),
@@ -435,7 +464,7 @@ def update_f_pop(key, spec: ModelSpec, data: Dataset, freq, z, rates,
 
 
 def update_f_ind(key, spec: ModelSpec, data: Dataset, freq, z, rates,
-                 prior_mu=None, prior_sigma2=None):
+                 prior_mu=None, prior_sigma2=None, axis_name=None):
     """Mode 5: per-individual MH random walk on F (update_F_IND,
     mcmc.c:888-910); individuals independent -> one parallel sweep.
     Optional normal-prior terms as in :func:`update_s_ind`."""
@@ -445,12 +474,14 @@ def update_f_ind(key, spec: ModelSpec, data: Dataset, freq, z, rates,
 
     def lp(f):
         site = _slog(lk.genofreq_inbreeding(p0, p1, data.hom, f[:, None]))
-        out = jnp.where(mask, site, 0.0).sum(axis=1)
-        if prior_mu is not None:
-            out = out - 0.5 * (f - prior_mu) ** 2 / prior_sigma2
-        return out
+        return jnp.where(mask, site, 0.0).sum(axis=1)
 
-    log_ratio = lp(prop) - lp(rates)
+    # site terms are psummed over loci shards; prior terms are global
+    # (added once, outside the psum)
+    log_ratio = _psum(lp(prop) - lp(rates), axis_name)
+    if prior_mu is not None:
+        log_ratio = log_ratio - (0.5 * (prop - prior_mu) ** 2
+                                 - 0.5 * (rates - prior_mu) ** 2) / prior_sigma2
     u = jax.random.uniform(ku, rates.shape, minval=_EPS)
     return jnp.where(jnp.log(u) < log_ratio, prop, rates)
 

@@ -28,6 +28,24 @@ CHAIN_AXIS = "chain"
 DATA_AXIS = "data"
 
 
+def get_shard_map():
+    """`shard_map(f, mesh, in_specs, out_specs)` without replication
+    checking, across the jax 0.8 API rename (check_rep -> check_vma)."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:                                  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as sm_exp
+
+        def legacy(f, *, mesh, in_specs, out_specs):
+            return sm_exp(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+        return legacy
+
+    def modern(f, *, mesh, in_specs, out_specs):
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    return modern
+
+
 def make_mesh(n_chain_shards: Optional[int] = None,
               n_data_shards: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
