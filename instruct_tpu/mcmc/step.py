@@ -36,14 +36,19 @@ def _cal_lkh(spec: ModelSpec, data: Dataset, state: McmcState,
 
 
 def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
-    """Fused Pallas step path: modes 1-5, diploid, non-DPM, on TPU
+    """Fused Pallas step path: modes 1-5, diploid, on TPU
     (kernels/fused_step.py).  `use_pallas=None` auto-enables on TPU;
-    False forces the XLA path; True forces fused (TPU only)."""
+    False forces the XLA path; True forces fused (TPU only).
+
+    Mode-5 DPM stays on the XLA path: its CRP sweep needs the [N, M]
+    F-log-likelihood grid curve (dpm.f_loglik_grid), an extra site pass the
+    fused kernels do not produce.  Mode-3 DPM is fused — its sweep
+    conditions only on the generation latents."""
     if spec.use_pallas is False or spec.ploid != 2:
         return False
     if spec.mode not in (1, 2, 3, 4, 5):
         return False
-    if spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5):
+    if spec.priors.family == PriorFamily.DPM and spec.mode == 5:
         return False
     if spec.n_pops * data.max_alleles > 64:
         return False
@@ -70,6 +75,10 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     structure = spec.type_freq == 1
     normal = (spec.priors.family == PriorFamily.NORMAL
               and spec.mode in (3, 5))
+    dpm = spec.priors.family == PriorFamily.DPM and spec.mode == 3
+    if dpm:
+        from instruct_tpu.mcmc.dpm import build_dpm_update
+        dpm_update = build_dpm_update(spec, data, axis_name)
 
     from instruct_tpu.kernels.dirichlet_pallas import (dirichlet_kla,
                                                        dirichlet_rows)
@@ -106,15 +115,20 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
                                          state.rates, state.ais_state)
             state = state._replace(rates=rates, ais_state=ais)
         elif spec.mode == 3:
-            pm = state.prior_mu if normal else None
-            ps2 = state.prior_sigma2 if normal else None
-            rates = up.update_s_ind(ks, spec, state.gen, state.rates,
-                                    pm, ps2)
-            state = state._replace(rates=rates)
-            if normal:
-                mu, s2 = up.update_normal_hyper(
-                    jax.random.fold_in(ks, 1), rates, spec.priors)
-                state = state._replace(prior_mu=mu, prior_sigma2=s2)
+            if dpm:
+                # CRP/stick sweep conditions only on gen (replicated), so
+                # it composes with the fused site kernels unchanged
+                state = dpm_update(ks, state)
+            else:
+                pm = state.prior_mu if normal else None
+                ps2 = state.prior_sigma2 if normal else None
+                rates = up.update_s_ind(ks, spec, state.gen, state.rates,
+                                        pm, ps2)
+                state = state._replace(rates=rates)
+                if normal:
+                    mu, s2 = up.update_normal_hyper(
+                        jax.random.fold_in(ks, 1), rates, spec.priors)
+                    state = state._replace(prior_mu=mu, prior_sigma2=s2)
 
         seed = fs.seed_words(kz)
         if spec.mode == 1:
