@@ -69,7 +69,10 @@ def main():
     panel = synthetic_panel(n_indv=n, n_loci=l, n_pops=k, n_alleles=2,
                             selfing_rates=np.array([0.1, 0.4, 0.8]),
                             admixture_alpha=0.1, seed=17)
-    spec = ModelSpec(mode=2, n_pops=k)
+    # 12 inner S-MH sweeps/step: saturates the S mixing at the
+    # coupling-through-G limit for ~+10% step cost (ModelSpec.s_subsweeps;
+    # 1 = the reference's schedule)
+    spec = ModelSpec(mode=2, n_pops=k, s_subsweeps=12)
     step_core, add_loglik = build_step_parts(spec, panel.data)
     c = args.chains
     thinning = 10      # production default (InStruct.c:33): cal_lkh runs

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", dest="mode", type=int, default=1)
     p.add_argument("-h2", "--alpha-dpm", dest="alpha_dpm", type=float,
                    default=10.0, help="DPM concentration (reference -h)")
+    p.add_argument("--s-subsweeps", dest="s_subsweeps", type=int, default=1,
+                   help="inner MH sweeps of the S update per step (modes "
+                        "2/3); ~12 saturates S mixing for ~10% step cost, "
+                        "1 = reference schedule")
     p.add_argument("--dp-trunc", dest="dp_truncation", type=int, default=0,
                    help="0 = exact sequential CRP sweep; T>0 = blocked "
                         "truncated-stick-breaking DP with T components "
@@ -112,7 +116,7 @@ def main(argv=None) -> int:
         type_freq=args.type_freq, back_refl=args.back_refl,
         priors=Priors(family=family, alpha_dpm=args.alpha_dpm,
                       dp_truncation=args.dp_truncation),
-        autopoly=bool(args.autopoly))
+        autopoly=bool(args.autopoly), s_subsweeps=args.s_subsweeps)
     sched = Schedule(
         n_iter=args.update, burnin=args.burnin, thinning=args.thinning,
         n_chains=args.chainnum, ckrep=args.ckrep,

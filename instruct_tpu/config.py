@@ -96,6 +96,16 @@ class ModelSpec:
     #   not in the reference)
     mh_step_s: float = 0.05            # delta0 random-walk half-width for S/F
     #   (mcmc.c:870, 919)
+    s_subsweeps: int = 1               # inner MH sweeps of the S update per
+    #   step (modes 2/3).  The S conditional given (Q, G) is O(N*K) — three
+    #   orders cheaper than the site kernels — while the reference's single
+    #   delta0=0.05 random-walk sweep per step dominates the S
+    #   autocorrelation.  ~12 subsweeps saturate the S mixing at the
+    #   coupling-through-G limit for +~10% step cost (measured 3.4x ESS/s
+    #   at 1000x10k K=3 on v5e).  1 reproduces the reference's update
+    #   schedule exactly.  Ignored by modes 4/5 (the F conditional needs a
+    #   site pass, so repeating it is not cheap) and the tetraploid engine
+    #   (the S target rebuilds the genotype-frequency tables).
     alpha_prior_max: float = 10.0      # alpha ~ U[0, 10] initialisation
     #   (mcmc.c:479); also used as the upper bound of the uniform prior in our
     #   (corrected) alpha MH update

@@ -35,6 +35,37 @@ def _cal_lkh(spec: ModelSpec, data: Dataset, state: McmcState,
     return state._replace(loglik_indv=indv, loglik_total=indv.sum())
 
 
+def _s_subsweeps_pop(spec: ModelSpec, state: McmcState, ks) -> McmcState:
+    """spec.s_subsweeps inner MH sweeps of the mode-2 S update — the S
+    conditional given (Q, G) is O(N*K), so extra sweeps cost ~nothing next
+    to the site kernels while collapsing the S random-walk autocorrelation
+    (the reference does exactly one sweep per step, mcmc.c:209)."""
+    for j in range(max(1, spec.s_subsweeps)):
+        rates, ais = up.update_s_pop(jax.random.fold_in(ks, j), spec,
+                                     state.q, state.gen, state.rates,
+                                     state.ais_state)
+        state = state._replace(rates=rates, ais_state=ais)
+    return state
+
+
+def _s_subsweeps_ind(spec: ModelSpec, state: McmcState, ks,
+                     normal: bool) -> McmcState:
+    """Mode-3 equivalent of :func:`_s_subsweeps_pop` (per-individual S,
+    uniform or normal prior); the conjugate hyper update runs once after
+    the sweeps."""
+    pm = state.prior_mu if normal else None
+    ps2 = state.prior_sigma2 if normal else None
+    for j in range(max(1, spec.s_subsweeps)):
+        rates = up.update_s_ind(jax.random.fold_in(ks, j), spec, state.gen,
+                                state.rates, pm, ps2)
+        state = state._replace(rates=rates)
+    if normal:
+        mu, s2 = up.update_normal_hyper(
+            jax.random.fold_in(ks, 777), state.rates, spec.priors)
+        state = state._replace(prior_mu=mu, prior_sigma2=s2)
+    return state
+
+
 def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
     """Fused Pallas step path: modes 1-5, diploid, on TPU
     (kernels/fused_step.py).  `use_pallas=None` auto-enables on TPU;
@@ -111,24 +142,14 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             return _f_tail(state, ks, kz, ka, kq, kacc)
 
         if spec.mode == 2:
-            rates, ais = up.update_s_pop(ks, spec, state.q, state.gen,
-                                         state.rates, state.ais_state)
-            state = state._replace(rates=rates, ais_state=ais)
+            state = _s_subsweeps_pop(spec, state, ks)
         elif spec.mode == 3:
             if dpm:
                 # CRP/stick sweep conditions only on gen (replicated), so
                 # it composes with the fused site kernels unchanged
                 state = dpm_update(ks, state)
             else:
-                pm = state.prior_mu if normal else None
-                ps2 = state.prior_sigma2 if normal else None
-                rates = up.update_s_ind(ks, spec, state.gen, state.rates,
-                                        pm, ps2)
-                state = state._replace(rates=rates)
-                if normal:
-                    mu, s2 = up.update_normal_hyper(
-                        jax.random.fold_in(ks, 1), rates, spec.priors)
-                    state = state._replace(prior_mu=mu, prior_sigma2=s2)
+                state = _s_subsweeps_ind(spec, state, ks, normal)
 
         seed = fs.seed_words(kz)
         if spec.mode == 1:
@@ -289,22 +310,12 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             return state._replace(zz=zz)
 
         if spec.mode == 2:
-            rates, ais = up.update_s_pop(ks, spec, state.q, state.gen,
-                                         state.rates, state.ais_state)
-            state = state._replace(rates=rates, ais_state=ais)
+            state = _s_subsweeps_pop(spec, state, ks)
         elif spec.mode == 3:
             if dpm:
                 state = dpm_update(ks, state)
             else:
-                pm = state.prior_mu if normal else None
-                ps2 = state.prior_sigma2 if normal else None
-                rates = up.update_s_ind(ks, spec, state.gen, state.rates,
-                                        pm, ps2)
-                state = state._replace(rates=rates)
-                if normal:
-                    mu, s2 = up.update_normal_hyper(
-                        jax.random.fold_in(ks, 1), rates, spec.priors)
-                    state = state._replace(prior_mu=mu, prior_sigma2=s2)
+                state = _s_subsweeps_ind(spec, state, ks, normal)
         elif spec.mode == 4:
             rates, ais = up.update_f_pop(ks, spec, data, freq, state.z,
                                          state.rates, state.ais_state,
