@@ -64,7 +64,10 @@ def main():
         t_measure, t_trace = 30, 150
     else:
         n, l, k = 1000, 10_000, 3
-        t_measure, t_trace = 50, 600
+        # 2000-step trace: the Geyer ESS estimator's own noise at near-iid
+        # mixing is ~1/sqrt(T); 600 steps gave round-to-round swings of
+        # +-20% in ESS/step that were pure estimator variance
+        t_measure, t_trace = 50, 2000
 
     panel = synthetic_panel(n_indv=n, n_loci=l, n_pops=k, n_alleles=2,
                             selfing_rates=np.array([0.1, 0.4, 0.8]),

@@ -191,6 +191,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
             oi = 3
     ll_ref = outs[oi] if need_ll else None
 
+    a2 = max_alleles == 2
     i = pl.program_id(0)
     j = pl.program_id(1)
     if inkernel_prng and sample:
@@ -219,62 +220,141 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         def _init_la():
             cnt_la_ref[:] = jnp.zeros_like(cnt_la_ref)
 
-    # per-copy per-pop allele probabilities w_k = freq[k, l, a_{nl}]
-    def w_of(gc):
-        ws = []
-        for k in range(n_pops):
-            if max_alleles == 2:
-                f0 = freq_ref[k * 2, :][None, :]
-                f1 = freq_ref[k * 2 + 1, :][None, :]
-                ws.append(f0 + (f1 - f0) * (gc == 1).astype(jnp.float32))
-            else:
+    # Per-copy per-pop allele probability w_k = freq[k, l, a_{nl}].
+    #
+    # Biallelic fast path (a2): w_k(g) = f0_k + d_k * g with d_k = f1_k -
+    # f0_k, so everything the sweep needs is AFFINE in the allele
+    # indicator g — the categorical CDF prefixes cum_j = sum_{k<=j} q_k
+    # w_k(g) become cum_j = A_j + B_j * g with the A/B prefix planes built
+    # once (shared by both copies), the mixture probability is the full
+    # prefix, and w at a given z is two row selects + one fma.  Count
+    # masses (z == k) fall out of the inverse-CDF indicators for free:
+    # z = sum_j 1[u*tot > cum_j], so (z == k) = ind_{k-1} - ind_k.  This
+    # replaces the generic path's K full [bn, bl] w planes + fresh
+    # compares with ~60% fewer VPU ops per site; the generic path below
+    # stays for max_alleles > 2.
+    if a2:
+        f0r = [freq_ref[kk * 2, :][None, :] for kk in range(n_pops)]
+        dr = [freq_ref[kk * 2 + 1, :][None, :] - f0r[kk]
+              for kk in range(n_pops)]
+        g0f = (g0 == 1).astype(jnp.float32)
+        g1f = (g1 == 1).astype(jnp.float32)
+
+        def sel_rows(rows, zc):
+            out = rows[0]
+            for kk in range(1, n_pops):
+                out = jnp.where(zc == kk, rows[kk], out)
+            return out
+
+        def at_z2(zc, gf):
+            return sel_rows(f0r, zc) + sel_rows(dr, zc) * gf
+
+        need_mix = (sample
+                    or (ll_kind in ("gen", "gendiff") and not structure))
+        A = B = None
+        if need_mix:
+            qcols = [q_ref[:, kk][:, None] for kk in range(n_pops)]
+            cumA, cumB = qcols[0] * f0r[0], qcols[0] * dr[0]
+            A, B = [cumA], [cumB]
+            for kk in range(1, n_pops):
+                cumA = cumA + qcols[kk] * f0r[kk]
+                cumB = cumB + qcols[kk] * dr[kk]
+                A.append(cumA)
+                B.append(cumB)
+    else:
+        def w_of(gc):
+            ws = []
+            for k in range(n_pops):
                 w = jnp.zeros(gc.shape, jnp.float32)
                 for a in range(max_alleles):
                     row = freq_ref[k * max_alleles + a, :][None, :]
                     w = jnp.where(gc == a, row, w)
                 ws.append(w)
-        return ws
+            return ws
 
-    w0 = w_of(g0)
-    w1 = w_of(g1)
+        w0 = w_of(g0)
+        w1 = w_of(g1)
 
     z0 = z1 = None
+    ind0 = ind1 = tot0 = tot1 = None
     if sample:
-        # z_c ~ Cat_k(q_k * w_c_k) by inverse-CDF (update_ZQ, mcmc.c:1146)
-        def draw(ws, u01):
-            terms = [q_ref[:, k][:, None] * ws[k] for k in range(n_pops)]
-            total = terms[0]
-            for t in terms[1:]:
-                total = total + t
-            if u01 is None:
-                bits = pltpu.prng_random_bits(total.shape)
-                u01 = ((bits & 0x7FFFFF).astype(jnp.float32)
-                       * (1.0 / (1 << 23)))
-            u = u01 * total
-            zc = jnp.zeros(total.shape, jnp.int32)
-            cum = jnp.zeros_like(total)
-            for k in range(n_pops - 1):
-                cum = cum + terms[k]
-                zc = zc + (u > cum).astype(jnp.int32)
-            return zc
+        if a2:
+            # inverse-CDF via the affine prefixes: ind_j = u*tot > cum_j
+            def draw2(gf, u01):
+                tot = A[-1] + B[-1] * gf
+                if u01 is None:
+                    bits = pltpu.prng_random_bits(tot.shape)
+                    u01 = ((bits & 0x7FFFFF).astype(jnp.float32)
+                           * (1.0 / (1 << 23)))
+                ut = u01 * tot
+                indf = [(ut > A[jj] + B[jj] * gf).astype(jnp.float32)
+                        for jj in range(n_pops - 1)]
+                return indf, tot
 
-        z0 = draw(w0, u0)
-        z1 = draw(w1, u1)
-        z0_out[:] = z0.astype(jnp.int8)
-        z1_out[:] = z1.astype(jnp.int8)
+            ind0, tot0 = draw2(g0f, u0)
+            ind1, tot1 = draw2(g1f, u1)
+
+            def zsum(indf):
+                if not indf:
+                    return jnp.zeros(g0f.shape, jnp.float32)
+                s = indf[0]
+                for t in indf[1:]:
+                    s = s + t
+                return s
+
+            z0_out[:] = zsum(ind0).astype(jnp.int8)
+            z1_out[:] = zsum(ind1).astype(jnp.int8)
+
+            def masses(indf):
+                # (z == k) = ind_{k-1} - ind_k, ind_{-1}=1, ind_{K-1}=0
+                if not indf:
+                    return [jnp.ones(g0f.shape, jnp.float32)]
+                ms = [1.0 - indf[0]]
+                for kk in range(1, n_pops - 1):
+                    ms.append(indf[kk - 1] - indf[kk])
+                ms.append(indf[-1])
+                return ms
+
+            m0l, m1l = masses(ind0), masses(ind1)
+        else:
+            # z_c ~ Cat_k(q_k * w_c_k) by inverse-CDF (update_ZQ,
+            # mcmc.c:1146)
+            def draw(ws, u01):
+                terms = [q_ref[:, k][:, None] * ws[k]
+                         for k in range(n_pops)]
+                total = terms[0]
+                for t in terms[1:]:
+                    total = total + t
+                if u01 is None:
+                    bits = pltpu.prng_random_bits(total.shape)
+                    u01 = ((bits & 0x7FFFFF).astype(jnp.float32)
+                           * (1.0 / (1 << 23)))
+                u = u01 * total
+                zc = jnp.zeros(total.shape, jnp.int32)
+                cum = jnp.zeros_like(total)
+                for k in range(n_pops - 1):
+                    cum = cum + terms[k]
+                    zc = zc + (u > cum).astype(jnp.int32)
+                return zc
+
+            z0 = draw(w0, u0)
+            z1 = draw(w1, u1)
+            z0_out[:] = z0.astype(jnp.int8)
+            z1_out[:] = z1.astype(jnp.int8)
+            m0l = [(z0 == k).astype(jnp.float32) for k in range(n_pops)]
+            m1l = [(z1 == k).astype(jnp.float32) for k in range(n_pops)]
+
         col = pl.multiple_of(j * block_l, block_l)
         vf = valid.astype(jnp.float32)
         for k in range(n_pops):
-            m0 = (z0 == k).astype(jnp.float32) * vf
-            m1 = (z1 == k).astype(jnp.float32) * vf
+            m0 = m0l[k] * vf
+            m1 = m1l[k] * vf
             cnt_ref[:, k] += (m0 + m1).sum(axis=1)
             if not carry_counts:
                 continue
             # allele-pop counts of the fresh z (update_P's counting loop,
             # mcmc.c:815-845) — accumulated into the resident [K*A, L] out
-            if max_alleles == 2:
-                g0f = g0.astype(jnp.float32)
-                g1f = g1.astype(jnp.float32)
+            if a2:
                 tot = (m0 + m1).sum(axis=0, keepdims=True)
                 ones = (m0 * g0f + m1 * g1f).sum(axis=0, keepdims=True)
                 cnt_la_ref[2 * k:2 * k + 1, pl.ds(col, block_l)] += (
@@ -294,12 +374,26 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
             p = jnp.where(zc == k, ws[k], p)
         return p
 
+    def at_fresh2(indf, gf):
+        """w at the freshly-drawn z from the draw indicators: selecting
+        row k by z is a telescoping sum row_0 + sum_j ind_j (row_{j+1} -
+        row_j) since ind_j = 1[z > j]."""
+        f0z, dz = f0r[0], dr[0]
+        for jj in range(n_pops - 1):
+            f0z = f0z + indf[jj] * (f0r[jj + 1] - f0r[jj])
+            dz = dz + indf[jj] * (dr[jj + 1] - dr[jj])
+        return f0z + dz * gf
+
     if ll_kind == "mode1":
         # cal_lkh at z (log_ld_noselfing_indv, mcmc.c:1869-1890): the
         # freshly-drawn z when sampling, the carried z on a deferred
         # stored-step pass
-        p0 = at_z(w0, z0 if sample else z0_in)
-        p1 = at_z(w1, z1 if sample else z1_in)
+        if a2:
+            p0 = at_fresh2(ind0, g0f) if sample else at_z2(z0_in, g0f)
+            p1 = at_fresh2(ind1, g1f) if sample else at_z2(z1_in, g1f)
+        else:
+            p0 = at_z(w0, z0 if sample else z0_in)
+            p1 = at_z(w1, z1 if sample else z1_in)
         # (g0 - g1) != 0 rather than g0 != g1: Mosaic folds an eq of two
         # i8->i32 converts back into an unsupported i8 vector cmp
         het_f = ((g0 - g1) != 0).astype(jnp.float32)
@@ -323,12 +417,15 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         # and only hom same-z sites need a per-site log — ~4x fewer
         # transcendentals than differencing two "gen" columns.
         if structure:
-            p0 = at_z(w0, z0_in)
+            p0 = at_z2(z0_in, g0f) if a2 else at_z(w0, z0_in)
             m = ((z0_in - z1_in) == 0) & valid
         else:
-            p0 = q_ref[:, 0][:, None] * w0[0]
-            for k in range(1, n_pops):
-                p0 = p0 + q_ref[:, k][:, None] * w0[k]
+            if a2:
+                p0 = tot0 if tot0 is not None else A[-1] + B[-1] * g0f
+            else:
+                p0 = q_ref[:, 0][:, None] * w0[0]
+                for k in range(1, n_pops):
+                    p0 = p0 + q_ref[:, k][:, None] * w0[k]
             m = valid
         mh = (m & hom).astype(jnp.float32)
         mt = (m & jnp.logical_not(hom)).astype(jnp.float32)
@@ -345,11 +442,21 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     if ll_kind == "gen":
         # selfing-generation columns; colv = 2^{1-g} precomputed host-side
         if structure:
-            p0 = at_z(w0, z0_in)
-            p1 = at_z(w1, z1_in)
+            if a2:
+                p0 = at_z2(z0_in, g0f)
+                p1 = at_z2(z1_in, g1f)
+            else:
+                p0 = at_z(w0, z0_in)
+                p1 = at_z(w1, z1_in)
             same = (z0_in - z1_in) == 0  # see het_f note on i8 vector cmp
             hom_f = hom.astype(jnp.float32)
             indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
+        elif a2:
+            if tot0 is not None:
+                p0, p1 = tot0, tot1
+            else:
+                p0 = A[-1] + B[-1] * g0f
+                p1 = A[-1] + B[-1] * g1f
         else:
             p0 = q_ref[:, 0][:, None] * w0[0]
             p1 = q_ref[:, 0][:, None] * w1[0]
@@ -368,7 +475,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         return
 
     # inbreeding F families ("find" / "fpop"): z-conditioned copy probs
-    p0 = at_z(w0, z0_in)
+    p0 = at_z2(z0_in, g0f) if a2 else at_z(w0, z0_in)
     same = (z0_in - z1_in) == 0
     hom_f = hom.astype(jnp.float32)
     same_f = same.astype(jnp.float32)
@@ -389,7 +496,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     if ll_kind == "find":
         if full_ll:
             f = colv_ref[:, 0][:, None]
-            p1 = at_z(w1, z1_in)
+            p1 = at_z2(z1_in, g1f) if a2 else at_z(w1, z1_in)
             indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
             site = jnp.where(same, gf_log(f, p1), indep)
             ll_ref[:, 0] += (site * vf).sum(axis=1)
@@ -409,7 +516,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         return f
 
     if full_ll:
-        p1 = at_z(w1, z1_in)
+        p1 = at_z2(z1_in, g1f) if a2 else at_z(w1, z1_in)
         indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
         site = jnp.where(same, gf_log(f_at_z0(0), p1), indep)
         ll_ref[:, 0] += (site * vf).sum(axis=1)
