@@ -490,7 +490,10 @@ def build_tetra_step(spec: ModelSpec, data: Dataset):
         rates = jnp.where(accept, prop, state.rates)
         ais = jnp.where(accept, prop_states, state.ais_state)
         state = state._replace(rates=rates, ais_state=ais)
-        geno_table = selfing_equilibrium(tables, log_hwe, rates)
+        # the accepted table is a per-pop select of the two already-solved
+        # tables — no third equilibrium solve (the reference re-solves via
+        # move_genofreq's copy, poly_geno.c:737)
+        geno_table = jnp.where(accept[:, None, None], tab_prop, tab_cur)
 
         # --- Z, Q ------------------------------------------------------
         z, q = _update_zq_tetra(kz, tables, spec, data, freq, freq2,
