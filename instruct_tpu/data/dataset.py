@@ -24,6 +24,13 @@ as a plain block instead of a strided gather).
                     set of distinct alleles (transform_data2,
                     data_interface.c:571-669); ordered genotype is latent.
   * ``n_distinct``  int32[N, L] — `alleleid` counts.
+  * ``bits2``       int8[N, L] — diploid-biallelic only: the whole site
+                    packed into one plane (bit0 = copy-0 allele, bit1 =
+                    copy-1 allele, bit2 = site_valid; hom falls out as
+                    bit0 == bit1).  The fused Pallas site kernels read this
+                    single plane instead of four (geno x2, valid, hom) —
+                    one quarter of the site-tensor HBM traffic on the
+                    flagship biallelic panels.
 """
 
 from __future__ import annotations
@@ -44,6 +51,7 @@ class Dataset(NamedTuple):
     hom: jnp.ndarray           # bool[N, L]
     distinct: Optional[jnp.ndarray] = None      # int32[N, L*4] (tetra)
     n_distinct: Optional[jnp.ndarray] = None    # int32[N, L]
+    bits2: Optional[jnp.ndarray] = None         # int8[N, L] (diploid A=2)
 
     @property
     def n_indv(self) -> int:
@@ -97,6 +105,11 @@ def make_dataset(geno: np.ndarray, missing: np.ndarray,
     if a_max > 127:
         raise ValueError(f"more than 127 alleles at one locus ({a_max}); "
                          "the int8 genotype layout caps A at 127")
+    bits2 = None
+    if p == 2 and a_max == 2:
+        bits2 = jnp.asarray((geno[:, :, 0] | (geno[:, :, 1] << 1)
+                             | (site_valid.astype(np.int32) << 2))
+                            .astype(np.int8))
     return Dataset(
         geno=jnp.asarray(geno.transpose(0, 2, 1).reshape(n, p * l)
                          .astype(np.int8)),
@@ -108,6 +121,7 @@ def make_dataset(geno: np.ndarray, missing: np.ndarray,
                                    .reshape(n, -1))),
         n_distinct=(None if n_distinct is None
                     else jnp.asarray(n_distinct, dtype=jnp.int32)),
+        bits2=bits2,
     )
 
 

@@ -120,18 +120,25 @@ def allele_counts(z, geno, site_valid, *, n_pops, max_alleles,
 
 def _pass_flags(ll_kind, structure, sample):
     """(need_hom, need_zin, need_colv) — which optional operand groups the
-    per-site pass consumes for the given log-likelihood family."""
+    per-site pass consumes for the given log-likelihood family.
+
+    When sampling, every z-conditioned family evaluates at the FRESHLY
+    drawn z, still in registers — the sweep order is "Z then G/F | z" (a
+    Gibbs-scan permutation of the reference's G/F-then-Z order with the
+    same stationary distribution), which drops the two carried-z input
+    planes from the hot pass.  Stored-step passes (sample=False) evaluate
+    at the carried z planes."""
     need_hom = ll_kind in ("gen", "gendiff", "find", "fpop")
-    need_zin = ((ll_kind in ("gen", "gendiff") and structure)
-                or ll_kind in ("find", "fpop")
-                or (ll_kind == "mode1" and not sample))
+    need_zin = (not sample) and (
+        (ll_kind in ("gen", "gendiff") and structure)
+        or ll_kind in ("find", "fpop", "mode1"))
     need_colv = ll_kind in ("gen", "gendiff", "find")
     return need_hom, need_zin, need_colv
 
 
 def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
                  n_col, structure, full_ll, n_l_blocks, block_l,
-                 inkernel_prng, n_seed_words, carry_counts):
+                 inkernel_prng, n_seed_words, carry_counts, packed):
     """One [bn, bl] block of the per-site sweep.
 
     ``ll_kind`` selects the log-likelihood family computed alongside the
@@ -151,7 +158,9 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
                  column 0 (current) and column 1 (proposed); full_ll=True
                  is cal_lkh with f = rates[z0]
 
-    Ref order (inputs): q, freq_rows, geno0, geno1, valid, hom?,
+    Ref order (inputs): q, freq_rows, then either bits (one packed int8
+    plane: bit0 copy-0 allele, bit1 copy-1 allele, bit2 valid; ``packed``,
+    diploid-biallelic only) or geno0, geno1, valid, hom?; then
     z0_in?, z1_in?, colv (bn, n_col)?, fvals (K, n_col) in SMEM?, u0?, u1?
     Outputs: z0_out?, z1_out?, cnt (bn, K)?, cnt_la ([K*A, L] resident)?,
     ll (bn, n_out)?  The ? groups are present per the static flags.
@@ -169,10 +178,23 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     it = iter(refs)
     q_ref = next(it)
     freq_ref = next(it)
-    g0 = next(it)[:].astype(jnp.int32)
-    g1 = next(it)[:].astype(jnp.int32)
-    valid = next(it)[:] != 0
-    hom = next(it)[:] != 0 if need_hom else None
+    g0f = g1f = None
+    if packed:
+        # one int8 plane carries the whole site (dataset.bits2): allele
+        # bits come out as the 0/1 floats the biallelic path needs anyway,
+        # hom is bit0 == bit1 — no separate geno/valid/hom loads
+        si = next(it)[:].astype(jnp.int32)
+        g0 = si & 1
+        g1 = (si >> 1) & 1
+        g0f = g0.astype(jnp.float32)
+        g1f = g1.astype(jnp.float32)
+        valid = (si & 4) != 0
+        hom = ((g0f - g1f) == 0.0) if need_hom else None
+    else:
+        g0 = next(it)[:].astype(jnp.int32)
+        g1 = next(it)[:].astype(jnp.int32)
+        valid = next(it)[:] != 0
+        hom = next(it)[:] != 0 if need_hom else None
     z0_in = next(it)[:].astype(jnp.int32) if need_zin else None
     z1_in = next(it)[:].astype(jnp.int32) if need_zin else None
     colv_ref = next(it) if need_colv else None
@@ -237,8 +259,9 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         f0r = [freq_ref[kk * 2, :][None, :] for kk in range(n_pops)]
         dr = [freq_ref[kk * 2 + 1, :][None, :] - f0r[kk]
               for kk in range(n_pops)]
-        g0f = (g0 == 1).astype(jnp.float32)
-        g1f = (g1 == 1).astype(jnp.float32)
+        if g0f is None:
+            g0f = (g0 == 1).astype(jnp.float32)
+            g1f = (g1 == 1).astype(jnp.float32)
 
         def sel_rows(rows, zc):
             out = rows[0]
@@ -276,8 +299,9 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         w1 = w_of(g1)
 
     z0 = z1 = None
-    ind0 = ind1 = tot0 = tot1 = None
+    ind0 = ind1 = tot0 = tot1 = z0s = z1s = None
     if sample:
+        vf = valid.astype(jnp.float32)
         if a2:
             # inverse-CDF via the affine prefixes: ind_j = u*tot > cum_j
             def draw2(gf, u01):
@@ -302,20 +326,48 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
                     s = s + t
                 return s
 
-            z0_out[:] = zsum(ind0).astype(jnp.int8)
-            z1_out[:] = zsum(ind1).astype(jnp.int8)
+            z0s, z1s = zsum(ind0), zsum(ind1)
+            z0_out[:] = z0s.astype(jnp.int8)
+            z1_out[:] = z1s.astype(jnp.int8)
 
-            def masses(indf):
-                # (z == k) = ind_{k-1} - ind_k, ind_{-1}=1, ind_{K-1}=0
-                if not indf:
-                    return [jnp.ones(g0f.shape, jnp.float32)]
-                ms = [1.0 - indf[0]]
+            # Counting straight off the draw indicators — the per-pop mass
+            # planes (z == k) = ind_{k-1} - ind_k never materialize:
+            # row/column sums of iv_j = ind_j * vf telescope into both the
+            # per-individual pop counts and the [K*A, L] allele-pop counts
+            # (update_ZQ's qq_num, mcmc.c:1180-1189; update_P's counting
+            # loop, mcmc.c:815-845).
+            col = pl.multiple_of(j * block_l, block_l)
+            rv = vf.sum(axis=1)
+            if n_pops == 1:
+                cnt_ref[:, 0] += 2.0 * rv
+            else:
+                iv0 = [ind0[jj] * vf for jj in range(n_pops - 1)]
+                iv1 = [ind1[jj] * vf for jj in range(n_pops - 1)]
+                rs0 = [x.sum(axis=1) for x in iv0]
+                rs1 = [x.sum(axis=1) for x in iv1]
+                cnt_ref[:, 0] += 2.0 * rv - rs0[0] - rs1[0]
                 for kk in range(1, n_pops - 1):
-                    ms.append(indf[kk - 1] - indf[kk])
-                ms.append(indf[-1])
-                return ms
+                    cnt_ref[:, kk] += ((rs0[kk - 1] - rs0[kk])
+                                       + (rs1[kk - 1] - rs1[kk]))
+                cnt_ref[:, n_pops - 1] += rs0[-1] + rs1[-1]
+            if carry_counts:
+                def colsum(x):
+                    return x.sum(axis=0, keepdims=True)
 
-            m0l, m1l = masses(ind0), masses(ind1)
+                s_prev = 2.0 * colsum(vf)
+                t_prev = colsum(vf * (g0f + g1f))
+                for kk in range(n_pops):
+                    if kk < n_pops - 1:
+                        s_k = colsum(iv0[kk] + iv1[kk])
+                        t_k = colsum(iv0[kk] * g0f + iv1[kk] * g1f)
+                    else:
+                        s_k = t_k = 0.0
+                    ones = t_prev - t_k
+                    cnt_la_ref[2 * kk:2 * kk + 1,
+                               pl.ds(col, block_l)] += (s_prev - s_k) - ones
+                    cnt_la_ref[2 * kk + 1:2 * kk + 2,
+                               pl.ds(col, block_l)] += ones
+                    s_prev, t_prev = s_k, t_k
         else:
             # z_c ~ Cat_k(q_k * w_c_k) by inverse-CDF (update_ZQ,
             # mcmc.c:1146)
@@ -344,23 +396,16 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
             m0l = [(z0 == k).astype(jnp.float32) for k in range(n_pops)]
             m1l = [(z1 == k).astype(jnp.float32) for k in range(n_pops)]
 
-        col = pl.multiple_of(j * block_l, block_l)
-        vf = valid.astype(jnp.float32)
-        for k in range(n_pops):
-            m0 = m0l[k] * vf
-            m1 = m1l[k] * vf
-            cnt_ref[:, k] += (m0 + m1).sum(axis=1)
-            if not carry_counts:
-                continue
-            # allele-pop counts of the fresh z (update_P's counting loop,
-            # mcmc.c:815-845) — accumulated into the resident [K*A, L] out
-            if a2:
-                tot = (m0 + m1).sum(axis=0, keepdims=True)
-                ones = (m0 * g0f + m1 * g1f).sum(axis=0, keepdims=True)
-                cnt_la_ref[2 * k:2 * k + 1, pl.ds(col, block_l)] += (
-                    tot - ones)
-                cnt_la_ref[2 * k + 1:2 * k + 2, pl.ds(col, block_l)] += ones
-            else:
+            col = pl.multiple_of(j * block_l, block_l)
+            for k in range(n_pops):
+                m0 = m0l[k] * vf
+                m1 = m1l[k] * vf
+                cnt_ref[:, k] += (m0 + m1).sum(axis=1)
+                if not carry_counts:
+                    continue
+                # allele-pop counts of the fresh z (update_P's counting
+                # loop, mcmc.c:815-845) — accumulated into the resident
+                # [K*A, L] out
                 for a in range(max_alleles):
                     v = ((m0 * (g0 == a).astype(jnp.float32)
                           + m1 * (g1 == a).astype(jnp.float32))
@@ -384,16 +429,30 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
             dz = dz + indf[jj] * (dr[jj + 1] - dr[jj])
         return f0z + dz * gf
 
+    def cond_p(copy):
+        """w of the given copy at its conditioning z — the fresh draw when
+        sampling (indicators/registers), else the carried z plane."""
+        gf = g0f if copy == 0 else g1f
+        if sample:
+            if a2:
+                return at_fresh2(ind0 if copy == 0 else ind1, gf)
+            return at_z(w0 if copy == 0 else w1, z0 if copy == 0 else z1)
+        if a2:
+            return at_z2(z0_in if copy == 0 else z1_in, gf)
+        return at_z(w0 if copy == 0 else w1, z0_in if copy == 0 else z1_in)
+
+    def cond_same():
+        """Copies share one pop at the conditioning z."""
+        if sample:
+            return ((z0s - z1s) == 0.0) if a2 else ((z0 - z1) == 0)
+        # (a - b) != 0 rather than a != b: see the i8 vector cmp note
+        return (z0_in - z1_in) == 0
+
     if ll_kind == "mode1":
         # cal_lkh at z (log_ld_noselfing_indv, mcmc.c:1869-1890): the
         # freshly-drawn z when sampling, the carried z on a deferred
         # stored-step pass
-        if a2:
-            p0 = at_fresh2(ind0, g0f) if sample else at_z2(z0_in, g0f)
-            p1 = at_fresh2(ind1, g1f) if sample else at_z2(z1_in, g1f)
-        else:
-            p0 = at_z(w0, z0 if sample else z0_in)
-            p1 = at_z(w1, z1 if sample else z1_in)
+        p0, p1 = cond_p(0), cond_p(1)
         # (g0 - g1) != 0 rather than g0 != g1: Mosaic folds an eq of two
         # i8->i32 converts back into an unsupported i8 vector cmp
         het_f = ((g0 - g1) != 0).astype(jnp.float32)
@@ -417,8 +476,8 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         # and only hom same-z sites need a per-site log — ~4x fewer
         # transcendentals than differencing two "gen" columns.
         if structure:
-            p0 = at_z2(z0_in, g0f) if a2 else at_z(w0, z0_in)
-            m = ((z0_in - z1_in) == 0) & valid
+            p0 = cond_p(0)
+            m = cond_same() & valid
         else:
             if a2:
                 p0 = tot0 if tot0 is not None else A[-1] + B[-1] * g0f
@@ -442,13 +501,8 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     if ll_kind == "gen":
         # selfing-generation columns; colv = 2^{1-g} precomputed host-side
         if structure:
-            if a2:
-                p0 = at_z2(z0_in, g0f)
-                p1 = at_z2(z1_in, g1f)
-            else:
-                p0 = at_z(w0, z0_in)
-                p1 = at_z(w1, z1_in)
-            same = (z0_in - z1_in) == 0  # see het_f note on i8 vector cmp
+            p0, p1 = cond_p(0), cond_p(1)
+            same = cond_same()
             hom_f = hom.astype(jnp.float32)
             indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
         elif a2:
@@ -475,8 +529,8 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         return
 
     # inbreeding F families ("find" / "fpop"): z-conditioned copy probs
-    p0 = at_z2(z0_in, g0f) if a2 else at_z(w0, z0_in)
-    same = (z0_in - z1_in) == 0
+    p0 = cond_p(0)
+    same = cond_same()
     hom_f = hom.astype(jnp.float32)
     same_f = same.astype(jnp.float32)
 
@@ -496,7 +550,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
     if ll_kind == "find":
         if full_ll:
             f = colv_ref[:, 0][:, None]
-            p1 = at_z2(z1_in, g1f) if a2 else at_z(w1, z1_in)
+            p1 = cond_p(1)
             indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
             site = jnp.where(same, gf_log(f, p1), indep)
             ll_ref[:, 0] += (site * vf).sum(axis=1)
@@ -508,15 +562,36 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
             ll_ref[:, 0] += (d * m).sum(axis=1)
         return
 
-    # "fpop": f = fvals[z0, col] via scalar selects from SMEM
+    # "fpop": f = fvals[z0, col] at the conditioning z — scalar telescoping
+    # over the copy-0 draw indicators when sampling, SMEM selects otherwise
     def f_at_z0(c):
+        if sample and a2:
+            f = jnp.full(p0.shape, fvals_ref[0, c])
+            for kk in range(n_pops - 1):
+                f = f + ind0[kk] * (fvals_ref[kk + 1, c]
+                                    - fvals_ref[kk, c])
+            return f
+        zc = z0 if sample else z0_in
         f = jnp.full(p0.shape, fvals_ref[0, c])
         for k in range(1, n_pops):
-            f = jnp.where(z0_in == k, fvals_ref[k, c], f)
+            f = jnp.where(zc == k, fvals_ref[k, c], f)
         return f
 
+    def z0_mass(k):
+        """(z0 == k) as f32 at the conditioning z."""
+        if sample and a2:
+            if n_pops == 1:
+                return jnp.ones(p0.shape, jnp.float32)
+            if k == 0:
+                return 1.0 - ind0[0]
+            if k == n_pops - 1:
+                return ind0[k - 1]
+            return ind0[k - 1] - ind0[k]
+        zc = z0 if sample else z0_in
+        return (zc == k).astype(jnp.float32)
+
     if full_ll:
-        p1 = at_z2(z1_in, g1f) if a2 else at_z(w1, z1_in)
+        p1 = cond_p(1)
         indep = _log(p0) + _log(p1) + (1.0 - hom_f) * _LOG2
         site = jnp.where(same, gf_log(f_at_z0(0), p1), indep)
         ll_ref[:, 0] += (site * vf).sum(axis=1)
@@ -524,8 +599,7 @@ def _site_kernel(seed_ref, *refs, n_pops, max_alleles, sample, ll_kind,
         m = same_f * vf
         d = f_ratio_log(f_at_z0(0), f_at_z0(1)) * m
         for k in range(n_pops):
-            ll_ref[:, k] += (d * (z0_in == k).astype(jnp.float32)
-                             ).sum(axis=1)
+            ll_ref[:, k] += (d * z0_mass(k)).sum(axis=1)
 
 
 # VMEM budget for the resident [K*A, L_padded] f32 allele-count output of
@@ -537,7 +611,7 @@ _CNT_LA_VMEM_BUDGET = 4 * 1024 * 1024
 
 def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
                *, sample, ll_kind, n_col, structure, full_ll, interpret,
-               carry_counts=True):
+               carry_counts=True, bits2=None):
     n, l = site_valid.shape
     k, _, a = freq.shape
     bn, bl = min(128, max(8, n)), min(1024, -(-l // 128) * 128)
@@ -548,25 +622,32 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
 
     need_hom, need_zin, need_colv = _pass_flags(ll_kind, structure, sample)
     need_ll = ll_kind is not None
+    packed = bits2 is not None and a == 2
 
-    gp = [_pad2(geno[:, :l], bn, bl), _pad2(geno[:, l:], bn, bl)]
-    vp = _pad2(site_valid.astype(jnp.int8), bn, bl)
     qp = jnp.pad(q, ((0, np_ - n), (0, 0)))
     freq_rows = jnp.pad(jnp.transpose(freq, (0, 2, 1)).reshape(k * a, l),
                         ((0, 0), (0, lp - l)))
 
-    operands = [qp, freq_rows, *gp, vp]
+    site_blk = pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+    operands = [qp, freq_rows]
     in_specs = [
         pl.BlockSpec((bn, k), lambda i, j, *_: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((k * a, bl), lambda i, j, *_: (0, j),
                      memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
-                      memory_space=pltpu.VMEM)] * 3
-    if need_hom:
-        operands.append(_pad2(hom.astype(jnp.int8), bn, bl))
-        in_specs.append(pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
-                                     memory_space=pltpu.VMEM))
+    ]
+    if packed:
+        # one int8 plane (dataset.bits2) replaces geno x2 + valid (+ hom)
+        operands.append(_pad2(bits2, bn, bl))
+        in_specs.append(site_blk)
+    else:
+        operands += [_pad2(geno[:, :l], bn, bl), _pad2(geno[:, l:], bn, bl),
+                     _pad2(site_valid.astype(jnp.int8), bn, bl)]
+        in_specs += [site_blk] * 3
+        if need_hom:
+            operands.append(_pad2(hom.astype(jnp.int8), bn, bl))
+            in_specs.append(site_blk)
     if need_zin:
         operands += [_pad2(z_in[:, :l], bn, bl), _pad2(z_in[:, l:], bn, bl)]
         in_specs += [pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
@@ -619,7 +700,8 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
         _site_kernel, n_pops=k, max_alleles=a, sample=sample,
         ll_kind=ll_kind, n_col=n_col, structure=structure, full_ll=full_ll,
         n_l_blocks=grid[1], block_l=bl, inkernel_prng=inkernel_prng,
-        n_seed_words=seed_words.shape[0], carry_counts=carry_counts)
+        n_seed_words=seed_words.shape[0], carry_counts=carry_counts,
+        packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=out_specs)
@@ -646,7 +728,7 @@ def _site_pass(seed, q, freq, geno, site_valid, hom, z_in, colv, fvals, u,
 
 @functools.partial(jax.jit, static_argnames=("structure", "interpret"))
 def zq_gen_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
-                structure, interpret=False, u=None):
+                structure, interpret=False, u=None, bits2=None):
     """Sequence point 2: sample z, count per-individual pops, and compute
     the G log-likelihood at the current and proposed generation counts.
 
@@ -657,13 +739,14 @@ def zq_gen_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
     """
     r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair,
                    None, u, sample=True, ll_kind="gen", n_col=2,
-                   structure=structure, full_ll=False, interpret=interpret)
+                   structure=structure, full_ll=False, interpret=interpret,
+                   bits2=bits2)
     return r["z"], r["qqnum"], r["ll"], r["zcounts"]
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "interpret"))
 def zq_gendiff_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
-                    structure, interpret=False, u=None):
+                    structure, interpret=False, u=None, bits2=None):
     """Sequence point 2, production form: sample z, count per-individual
     pops, and emit the G-update MH log-ratio directly (one column — the
     difference of :func:`zq_gen_pass`'s two, computed with ~4x fewer logs).
@@ -671,62 +754,66 @@ def zq_gendiff_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair, *,
     Returns (z, qqnum, ll_diff f32[N], zcounts)."""
     r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, wg_pair,
                    None, u, sample=True, ll_kind="gendiff", n_col=2,
-                   structure=structure, full_ll=False, interpret=interpret)
+                   structure=structure, full_ll=False, interpret=interpret,
+                   bits2=bits2)
     return r["z"], r["qqnum"], r["ll"][:, 0], r["zcounts"]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def zq_sample_pass(seed, q, freq, geno, site_valid, *, interpret=False,
-                   u=None):
+                   u=None, bits2=None):
     """Sampling-only sequence point 2 (mode 1 production path — the
     cal_lkh pass is deferred to stored steps via
     :func:`panel_loglik_mode1_pass`).
     Returns (z, qqnum, zcounts)."""
     r = _site_pass(seed, q, freq, geno, site_valid, None, None, None, None,
                    u, sample=True, ll_kind=None, n_col=0,
-                   structure=True, full_ll=False, interpret=interpret)
+                   structure=True, full_ll=False, interpret=interpret,
+                   bits2=bits2)
     return r["z"], r["qqnum"], r["zcounts"]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def panel_loglik_mode1_pass(freq, q, geno, site_valid, z, *,
-                            interpret=False):
+                            interpret=False, bits2=None):
     """cal_lkh for mode 1 (log_ld_noselfing_indv, mcmc.c:1869-1890) at the
     carried z — the deferred stored-step companion of
     :func:`zq_sample_pass`."""
     r = _site_pass(jnp.zeros((), jnp.int32), q, freq, geno, site_valid,
                    None, z, None, None, None, sample=False,
                    ll_kind="mode1", n_col=0, structure=True, full_ll=True,
-                   interpret=interpret)
+                   interpret=interpret, bits2=bits2)
     return r["ll"][:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def zq_mode1_pass(seed, q, freq, geno, site_valid, *, interpret=False,
-                  u=None):
+                  u=None, bits2=None):
     """Sequence point 2 for mode 1 (no selfing): sample z + counts + the
     cal_lkh log-lik at the fresh z, all in one pass.
     Returns (z, qqnum, ll f32[N], zcounts f32[K, L, A])."""
     r = _site_pass(seed, q, freq, geno, site_valid, None, None, None, None,
                    u, sample=True, ll_kind="mode1", n_col=0,
-                   structure=True, full_ll=True, interpret=interpret)
+                   structure=True, full_ll=True, interpret=interpret,
+                   bits2=bits2)
     return r["z"], r["qqnum"], r["ll"][:, 0], r["zcounts"]
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "interpret"))
 def panel_loglik_pass(freq, q, geno, site_valid, hom, z, wg, *,
-                      structure, interpret=False):
+                      structure, interpret=False, bits2=None):
     """Sequence point 3: cal_lkh (mcmc.c:1916-1942) for modes 2/3 —
     per-individual log-lik at the fresh (q, gen, z).  wg f32[N, 1]."""
     r = _site_pass(jnp.zeros((), jnp.int32), q, freq, geno, site_valid, hom,
                    z, wg, None, None, sample=False, ll_kind="gen", n_col=1,
-                   structure=structure, full_ll=True, interpret=interpret)
+                   structure=structure, full_ll=True, interpret=interpret,
+                   bits2=bits2)
     return r["ll"][:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("pop", "interpret"))
 def zq_f_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair, *,
-              pop, interpret=False, u=None):
+              pop, interpret=False, u=None, bits2=None):
     """Sequence point 2 for the inbreeding modes (4/5): sample z + counts
     and the F-dependent log-likelihood terms of the MH update.
 
@@ -746,17 +833,19 @@ def zq_f_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair, *,
     if pop:
         r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, None,
                        f_pair, u, sample=True, ll_kind="fpop", n_col=2,
-                       structure=True, full_ll=False, interpret=interpret)
+                       structure=True, full_ll=False, interpret=interpret,
+                       bits2=bits2)
         return r["z"], r["qqnum"], r["ll"], r["zcounts"]
     r = _site_pass(seed, q, freq, geno, site_valid, hom, z_old, f_pair,
                    None, u, sample=True, ll_kind="find", n_col=2,
-                   structure=True, full_ll=False, interpret=interpret)
+                   structure=True, full_ll=False, interpret=interpret,
+                   bits2=bits2)
     return r["z"], r["qqnum"], r["ll"][:, 0], r["zcounts"]
 
 
 @functools.partial(jax.jit, static_argnames=("pop", "interpret"))
 def panel_loglik_f_pass(freq, geno, site_valid, hom, z, f, *, pop,
-                        interpret=False):
+                        interpret=False, bits2=None):
     """cal_lkh for modes 4/5 (log_ld_F_pop/indv, mcmc.c:1776-1847) at the
     fresh (P, F, Z).  f is f32[K, 1] (pop=True) or f32[N, 1]."""
     n = geno.shape[0]
@@ -766,10 +855,10 @@ def panel_loglik_f_pass(freq, geno, site_valid, hom, z, f, *, pop,
         r = _site_pass(jnp.zeros((), jnp.int32), dummy_q, freq, geno,
                        site_valid, hom, z, None, f, None, sample=False,
                        ll_kind="fpop", n_col=1, structure=True,
-                       full_ll=True, interpret=interpret)
+                       full_ll=True, interpret=interpret, bits2=bits2)
     else:
         r = _site_pass(jnp.zeros((), jnp.int32), dummy_q, freq, geno,
                        site_valid, hom, z, f, None, None, sample=False,
                        ll_kind="find", n_col=1, structure=True,
-                       full_ll=True, interpret=interpret)
+                       full_ll=True, interpret=interpret, bits2=bits2)
     return r["ll"][:, 0]

@@ -94,6 +94,13 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     run it only on stored/reported steps (the log-lik is a pure observable
     — no update conditions on it — so skipping it off-sample is exact).
 
+    Sweep-order note: the fused site pass evaluates the G/F MH log-ratio
+    at the z it has just drawn (still in registers), i.e. the scan order
+    is "Z, then G|z" / "Z, then F|z" — a permutation of the reference's
+    G/F-then-Z order (mcmc.c:208-215, 263-269) with the same invariant
+    distribution, chosen because it drops the carried-z input planes from
+    the hot kernel.  The XLA path below keeps the reference order.
+
     Under loci sharding (``axis_name`` set, parallel/loci_shard.py) the
     kernels run on the device-local panel; site-level PRNG seeds are
     shard-folded, replicated draws (Q, alpha, S/F/G proposals + accepts)
@@ -155,7 +162,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
         if spec.mode == 1:
             # sampling-only pass; cal_lkh is deferred to stored steps
             z, qqnum, zcounts = fs.zq_sample_pass(
-                seed, state.q, freq, data.geno, data.site_valid)
+                seed, state.q, freq, data.geno, data.site_valid,
+                bits2=data.bits2)
             q_new = draw_q(kq, up._psum(qqnum, axis_name), state.alpha)
             alpha = up.update_alpha(ka, spec, q_new, state.alpha)
             return state._replace(z=z, q=q_new, alpha=alpha,
@@ -168,7 +176,7 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             [state.gen, gen_prop], axis=1).astype(jnp.float32))
         z, qqnum, ll_diff, zcounts = fs.zq_gendiff_pass(
             seed, state.q, freq, data.geno, data.site_valid, data.hom,
-            state.z, wg_pair, structure=structure)
+            state.z, wg_pair, structure=structure, bits2=data.bits2)
         qqnum = up._psum(qqnum, axis_name)
         ll_diff = up._psum(ll_diff, axis_name)
         u = jax.random.uniform(kacc, state.gen.shape, minval=1e-30)
@@ -206,7 +214,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
         seed = fs.seed_words(kz)
         z, qqnum, ll, zcounts = fs.zq_f_pass(
             seed, state.q, state.freq, data.geno, data.site_valid,
-            data.hom, state.z, f_pair, pop=(spec.mode == 4))
+            data.hom, state.z, f_pair, pop=(spec.mode == 4),
+            bits2=data.bits2)
         qqnum = up._psum(qqnum, axis_name)
         ll = up._psum(ll, axis_name)
         if spec.mode == 4:
@@ -235,17 +244,18 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     def add_loglik(state: McmcState) -> McmcState:
         if spec.mode == 1:
             ll_indv = fs.panel_loglik_mode1_pass(
-                state.freq, state.q, data.geno, data.site_valid, state.z)
+                state.freq, state.q, data.geno, data.site_valid, state.z,
+                bits2=data.bits2)
         elif spec.mode in (4, 5):
             f = state.rates[:, None]
             ll_indv = fs.panel_loglik_f_pass(
                 state.freq, data.geno, data.site_valid, data.hom, state.z,
-                f, pop=(spec.mode == 4))
+                f, pop=(spec.mode == 4), bits2=data.bits2)
         else:
             wg = jnp.exp2(1.0 - state.gen.astype(jnp.float32))[:, None]
             ll_indv = fs.panel_loglik_pass(
                 state.freq, state.q, data.geno, data.site_valid, data.hom,
-                state.z, wg, structure=structure)
+                state.z, wg, structure=structure, bits2=data.bits2)
         ll_indv = up._psum(ll_indv, axis_name)
         return state._replace(loglik_indv=ll_indv,
                               loglik_total=ll_indv.sum())

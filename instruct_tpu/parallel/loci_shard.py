@@ -56,6 +56,8 @@ def pad_loci(data: Dataset, n_shards: int) -> Dataset:
         site_valid=jnp.pad(data.site_valid, ((0, 0), (0, pad))),
         allele_valid=jnp.pad(data.allele_valid, ((0, pad), (0, 0))),
         hom=jnp.pad(data.hom, ((0, 0), (0, pad))),
+        bits2=(None if data.bits2 is None
+               else jnp.pad(data.bits2, ((0, 0), (0, pad)))),
     )
 
 
@@ -81,6 +83,7 @@ def stack_loci(data: Dataset, n_shards: int) -> Dataset:
         allele_valid=(jnp.reshape(data.allele_valid,
                                   (n_shards, ll, data.max_alleles))),
         hom=split_l1(data.hom),
+        bits2=None if data.bits2 is None else split_l1(data.bits2),
     )
 
 
@@ -91,6 +94,7 @@ def local_view(stacked: Dataset) -> Dataset:
         site_valid=stacked.site_valid[0],
         allele_valid=stacked.allele_valid[0],
         hom=stacked.hom[0],
+        bits2=None if stacked.bits2 is None else stacked.bits2[0],
     )
 
 

@@ -77,10 +77,13 @@ def test_zq_gen_pass_matches_xla(setup, type_freq):
     np.testing.assert_allclose(np.asarray(qqnum),
                                np.asarray(masked_z_counts(z, data, k)),
                                atol=1e-4)
+    # fresh-z semantics: the sampling pass evaluates the G columns at
+    # the z it has just drawn (the sweep is "Z then G|z")
     spec = ModelSpec(mode=2, n_pops=k, type_freq=type_freq)
     rates = jnp.zeros((k,), jnp.float32)
-    ll_cur = lk.per_indv_loglik(spec, data, freq, z_old, q, gen, rates)
-    ll_prop = lk.per_indv_loglik(spec, data, freq, z_old, q, gen_prop,
+    zf = jnp.asarray(z, jnp.int8)
+    ll_cur = lk.per_indv_loglik(spec, data, freq, zf, q, gen, rates)
+    ll_prop = lk.per_indv_loglik(spec, data, freq, zf, q, gen_prop,
                                  rates)
     np.testing.assert_allclose(np.asarray(ll2[:, 0]), np.asarray(ll_cur),
                                rtol=2e-4, atol=2e-3)
@@ -135,10 +138,11 @@ def test_zq_f_pass_matches_xla(setup, pop):
     want_z = _xla_z_draw(u, q, freq, data, k)
     np.testing.assert_array_equal(np.asarray(z), np.asarray(want_z))
 
-    # reference formulas via the XLA likelihood on same-z sites
-    pz = lk.gather_freq_at_z(freq, data, z_old)
+    # reference formulas via the XLA likelihood on same-z sites, at the
+    # FRESH z (the sampling pass conditions its F terms on the z it drew)
+    pz = lk.gather_freq_at_z(freq, data, z)
     p0, p1 = lk.split_copies(pz, 2)
-    z0, z1 = lk.split_copies(z_old, 2)
+    z0, z1 = lk.split_copies(z, 2)
     mask = np.asarray((z0 == z1) & data.site_valid)
     hom = np.asarray(data.hom)
     p0, p1 = np.asarray(p0), np.asarray(p1)
@@ -250,3 +254,73 @@ def test_zq_sample_pass_and_deferred_mode1_loglik(setup):
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(ll2), np.asarray(ll1),
                                rtol=2e-4, atol=2e-3)
+
+
+def test_packed_bits2_plane_matches_unpacked():
+    """The single packed int8 site plane (dataset.bits2) reproduces the
+    unpacked (geno x2, valid, hom) operand route bit-for-bit on a
+    diploid-biallelic panel, across the sampling, diff, and stored-step
+    pass families."""
+    panel = synthetic_panel(n_indv=21, n_loci=130, n_pops=3, n_alleles=2,
+                            missing_rate=0.2, seed=12)
+    data = panel.data
+    assert data.bits2 is not None
+    rng = np.random.default_rng(3)
+    k = 3
+    freq = rng.dirichlet(np.ones(2), size=(k, data.n_loci)).astype(
+        np.float32)
+    freq = jnp.asarray(freq)
+    q = jnp.asarray(rng.dirichlet(np.ones(k), size=data.n_indv),
+                    jnp.float32)
+    z_old = jnp.asarray(rng.integers(0, k, size=data.geno.shape), jnp.int8)
+    gen = jnp.asarray(rng.integers(1, 9, size=data.n_indv), jnp.int32)
+    gen_p = jnp.asarray(rng.integers(1, 9, size=data.n_indv), jnp.int32)
+    wg_pair = jnp.exp2(1.0 - jnp.stack([gen, gen_p], 1).astype(jnp.float32))
+    u = jax.random.uniform(jax.random.key(2), data.geno.shape,
+                           minval=1e-6, maxval=1 - 1e-6)
+
+    for structure in (True, False):
+        a_ = fs.zq_gendiff_pass(0, q, freq, data.geno, data.site_valid,
+                                data.hom, z_old, wg_pair,
+                                structure=structure, interpret=True, u=u)
+        b_ = fs.zq_gendiff_pass(0, q, freq, data.geno, data.site_valid,
+                                data.hom, z_old, wg_pair,
+                                structure=structure, interpret=True, u=u,
+                                bits2=data.bits2)
+        np.testing.assert_array_equal(np.asarray(a_[0]), np.asarray(b_[0]))
+        np.testing.assert_allclose(np.asarray(a_[1]), np.asarray(b_[1]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a_[2]), np.asarray(b_[2]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a_[3]), np.asarray(b_[3]),
+                                   atol=1e-4)
+
+    for pop in (True, False):
+        f_pair = jnp.asarray(
+            rng.uniform(0.1, 0.9, (k if pop else data.n_indv, 2)),
+            jnp.float32)
+        a_ = fs.zq_f_pass(0, q, freq, data.geno, data.site_valid, data.hom,
+                          z_old, f_pair, pop=pop, interpret=True, u=u)
+        b_ = fs.zq_f_pass(0, q, freq, data.geno, data.site_valid, data.hom,
+                          z_old, f_pair, pop=pop, interpret=True, u=u,
+                          bits2=data.bits2)
+        np.testing.assert_array_equal(np.asarray(a_[0]), np.asarray(b_[0]))
+        np.testing.assert_allclose(np.asarray(a_[2]), np.asarray(b_[2]),
+                                   rtol=1e-5, atol=1e-5)
+
+    z = jnp.asarray(rng.integers(0, k, size=data.geno.shape), jnp.int8)
+    wg = jnp.exp2(1.0 - gen.astype(jnp.float32))[:, None]
+    a_ = fs.panel_loglik_pass(freq, q, data.geno, data.site_valid, data.hom,
+                              z, wg, structure=True, interpret=True)
+    b_ = fs.panel_loglik_pass(freq, q, data.geno, data.site_valid, data.hom,
+                              z, wg, structure=True, interpret=True,
+                              bits2=data.bits2)
+    np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-6)
+
+    a_ = fs.zq_mode1_pass(0, q, freq, data.geno, data.site_valid,
+                          interpret=True, u=u)
+    b_ = fs.zq_mode1_pass(0, q, freq, data.geno, data.site_valid,
+                          interpret=True, u=u, bits2=data.bits2)
+    np.testing.assert_array_equal(np.asarray(a_[0]), np.asarray(b_[0]))
+    np.testing.assert_allclose(np.asarray(a_[2]), np.asarray(b_[2]),
+                               rtol=1e-5, atol=1e-5)
