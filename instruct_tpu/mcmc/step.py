@@ -111,6 +111,10 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     k = spec.n_pops
     a = data.max_alleles
     structure = spec.type_freq == 1
+    # mode-2 S tail as one Pallas pass (kernels/s_pop_pallas.py): needs the
+    # back-reflection proposal (the adaptive-independence state machine
+    # stays on the XLA path) and q rows that fit one VMEM sublane tile
+    s_tail_fused = (spec.mode == 2 and spec.back_refl == 1 and k <= 8)
     normal = (spec.priors.family == PriorFamily.NORMAL
               and spec.mode in (3, 5))
     dpm = spec.priors.family == PriorFamily.DPM and spec.mode == 3
@@ -149,7 +153,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             return _f_tail(state, ks, kz, ka, kq, kacc)
 
         if spec.mode == 2:
-            state = _s_subsweeps_pop(spec, state, ks)
+            if not s_tail_fused:
+                state = _s_subsweeps_pop(spec, state, ks)
         elif spec.mode == 3:
             if dpm:
                 # CRP/stick sweep conditions only on gen (replicated), so
@@ -170,17 +175,31 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
                                   zcounts=_recount(z, zcounts))
 
         # modes 2/3: G proposal, fused zq+gendiff pass, G accept
-        sbar = (state.q @ state.rates if spec.mode == 2 else state.rates)
-        gen_prop = up.sample_geometric(kg, sbar, spec.gen_cap)
-        wg_pair = jnp.exp2(1.0 - jnp.stack(
-            [state.gen, gen_prop], axis=1).astype(jnp.float32))
+        if spec.mode == 2 and s_tail_fused:
+            # one Pallas pass replaces the J*K S-subsweep micro-kernels +
+            # the G-proposal / wg / accept-uniform draws
+            # (kernels/s_pop_pallas.py); the unfolded key keeps every
+            # output replicated across loci shards
+            from instruct_tpu.kernels.s_pop_pallas import s_pop_tail
+            rates_new, gen_prop, wg_pair, logu = s_pop_tail(
+                fs.seed_words(ks), state.q, state.gen, state.rates,
+                subsweeps=spec.s_subsweeps, delta0=spec.mh_step_s,
+                gen_cap=spec.gen_cap)
+            state = state._replace(rates=rates_new)
+        else:
+            sbar = (state.q @ state.rates if spec.mode == 2
+                    else state.rates)
+            gen_prop = up.sample_geometric(kg, sbar, spec.gen_cap)
+            wg_pair = jnp.exp2(1.0 - jnp.stack(
+                [state.gen, gen_prop], axis=1).astype(jnp.float32))
+            u = jax.random.uniform(kacc, state.gen.shape, minval=1e-30)
+            logu = jnp.log(u)
         z, qqnum, ll_diff, zcounts = fs.zq_gendiff_pass(
             seed, state.q, freq, data.geno, data.site_valid, data.hom,
             state.z, wg_pair, structure=structure, bits2=data.bits2)
         qqnum = up._psum(qqnum, axis_name)
         ll_diff = up._psum(ll_diff, axis_name)
-        u = jax.random.uniform(kacc, state.gen.shape, minval=1e-30)
-        gen = jnp.where(jnp.log(u) < ll_diff, gen_prop, state.gen)
+        gen = jnp.where(logu < ll_diff, gen_prop, state.gen)
 
         q_new = draw_q(kq, qqnum, state.alpha)
         alpha = up.update_alpha(ka, spec, q_new, state.alpha)
