@@ -31,7 +31,11 @@ try:
 except Exception:                      # pragma: no cover
     _HAVE_ORBAX = False
 
-FORMAT_VERSION = 2
+# 3: tetraploid latents (state.z, state.geno, Dataset.distinct) moved from
+#    copy-interleaved to copy-major [N, 4L] layout and int8 storage; v<=2
+#    tetraploid checkpoints are rejected (a silent restore would permute
+#    allele copies).  Diploid checkpoints are layout-identical across 2-3.
+FORMAT_VERSION = 3
 
 
 def _ckpt_path(directory: str, step: int) -> str:
@@ -116,6 +120,14 @@ def restore_checkpoint(directory: str, step: int, template: Any) -> Any:
     path = _ckpt_path(directory, step)
     version = _format_version(directory, step)
     _, keys, leaves, treedef = _flat_path_dict(template)
+    if version < 3:
+        for k, x in zip(keys, leaves):
+            if k.endswith("geno") and hasattr(x, "size") and x.size:
+                raise ValueError(
+                    f"checkpoint at {path} is format v{version}: tetraploid "
+                    "latents used the copy-interleaved layout, which this "
+                    "version stores copy-major — restoring would permute "
+                    "allele copies; rerun from the initial state")
     if version < 2:                    # legacy positional keys
         keys = [f"leaf_{i}" for i in range(len(leaves))]
     if _HAVE_ORBAX:

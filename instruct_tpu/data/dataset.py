@@ -20,7 +20,8 @@ as a plain block instead of a strided gather).
   * ``allele_valid`` bool[L, A] — per-locus padding mask over alleles.
   * ``hom``         bool[N, L]  — all copies identical; precomputes
                     `chcksame(seqdata[i][j])` (mcmc.c:1658-1667).
-  * ``distinct``    int32[N, L * 4] — tetraploid-only: the observed sorted
+  * ``distinct``    int32[N, 4 * L] copy-major (slot-m block at columns
+                    [m*L, (m+1)*L)) — tetraploid-only: the observed sorted
                     set of distinct alleles (transform_data2,
                     data_interface.c:571-669); ordered genotype is latent.
   * ``n_distinct``  int32[N, L] — `alleleid` counts.
@@ -118,7 +119,7 @@ def make_dataset(geno: np.ndarray, missing: np.ndarray,
         hom=jnp.asarray(hom),
         distinct=(None if distinct is None
                   else jnp.asarray(np.asarray(distinct, np.int32)
-                                   .reshape(n, -1))),
+                                   .transpose(0, 2, 1).reshape(n, -1))),
         n_distinct=(None if n_distinct is None
                     else jnp.asarray(n_distinct, dtype=jnp.int32)),
         bits2=bits2,

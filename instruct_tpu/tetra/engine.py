@@ -93,7 +93,12 @@ def build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
 
 
 def _split4(flat):
-    return tuple(flat[:, m::4] for m in range(4))
+    """Slot views of a copy-major flat tetra tensor [N, 4L] (slot m at
+    columns [m*L, (m+1)*L) — the same layout as Dataset.geno), upcast to
+    int32 so callers can pack/compare without int8 overflow."""
+    l = flat.shape[1] // 4
+    return tuple(flat[:, m * l:(m + 1) * l].astype(jnp.int32)
+                 for m in range(4))
 
 # Above this many table cells the select formulation stops paying off and we
 # fall back to a gather (TPU gathers measured ~5-8 ms per 1e6 arbitrary
@@ -260,6 +265,74 @@ def _update_p_tetra(key, spec, data: Dataset, z, geno):
     return f1, f2
 
 
+def _tetra_use_pallas(spec: ModelSpec, data: Dataset) -> bool:
+    """Fused Pallas path for the tetra P counts and per-copy Z Gibbs: the
+    copy-major [N, 4L] layout makes each subgenome system (slots 0-1 /
+    2-3) exactly a diploid pass, so the diploid site kernels
+    (kernels/fused_step.py) are reused verbatim — auto as ONE pass over
+    the [N, 2*(2L)] view, allo as one pass per frequency system."""
+    if spec.use_pallas is False:
+        return False
+    if spec.n_pops * data.max_alleles > 64 or spec.n_pops > 8:
+        return False
+    import jax as _jax
+    on_tpu = _jax.default_backend() == "tpu"
+    return on_tpu if spec.use_pallas is None else bool(spec.use_pallas)
+
+
+def _update_p_tetra_fused(key, spec, data: Dataset, z, geno):
+    """Pallas P update: allele-pop counts via the L-blocked diploid counts
+    kernel on the copy-major views, Dirichlet draw via the on-core-PRNG
+    kernel (replaces update_P_auto/allo, poly_geno.c:390-517)."""
+    from instruct_tpu.kernels import fused_step as fs
+    from instruct_tpu.kernels.dirichlet_pallas import dirichlet_kla
+    k, a = spec.n_pops, data.max_alleles
+    l = data.n_loci
+    k1, k2 = jax.random.split(key)
+    if spec.autopoly:
+        v2 = jnp.tile(data.site_valid, (1, 2))
+        cnt2 = fs.allele_counts(z, geno, v2, n_pops=k, max_alleles=a)
+        cnt = cnt2[:, :l] + cnt2[:, l:]                      # [K, L, A]
+        f = dirichlet_kla(fs.seed_words(k1), cnt + 1.0, data.allele_valid)
+        return f, None
+    c1 = fs.allele_counts(z[:, :2 * l], geno[:, :2 * l], data.site_valid,
+                          n_pops=k, max_alleles=a)
+    c2 = fs.allele_counts(z[:, 2 * l:], geno[:, 2 * l:], data.site_valid,
+                          n_pops=k, max_alleles=a)
+    f1 = dirichlet_kla(fs.seed_words(k1), c1 + 1.0, data.allele_valid)
+    f2 = dirichlet_kla(fs.seed_words(k2), c2 + 1.0, data.allele_valid)
+    return f1, f2
+
+
+def _update_zq_tetra_fused(key, spec, data: Dataset, freq, freq2, q, alpha,
+                           geno):
+    """Pallas per-copy Z Gibbs + Q | Z: the diploid sampling pass per
+    subgenome system (same draw z ~ Cat(q_k freq[k, l, a]) as the XLA
+    formulation below), then the Dirichlet rows kernel for Q."""
+    from instruct_tpu.kernels import fused_step as fs
+    from instruct_tpu.kernels.dirichlet_pallas import dirichlet_rows
+    kz, kq = jax.random.split(key)
+    l = data.n_loci
+    if spec.autopoly:
+        v2 = jnp.tile(data.site_valid, (1, 2))
+        freq_2l = jnp.concatenate([freq, freq], axis=1)      # [K, 2L, A]
+        z, qqnum, _ = fs.zq_sample_pass(fs.seed_words(kz), q, freq_2l,
+                                        geno, v2)
+    else:
+        z1, qq1, _ = fs.zq_sample_pass(
+            fs.seed_words(jax.random.fold_in(kz, 0)), q, freq,
+            geno[:, :2 * l], data.site_valid)
+        z2, qq2, _ = fs.zq_sample_pass(
+            fs.seed_words(jax.random.fold_in(kz, 1)), q, freq2,
+            geno[:, 2 * l:], data.site_valid)
+        z = jnp.concatenate([z1, z2], axis=1)
+        qqnum = qq1 + qq2
+    conc = (qqnum + alpha).T
+    q_new = dirichlet_rows(fs.seed_words(kq), conc,
+                           rows_per_group=conc.shape[0]).T
+    return z, q_new
+
+
 def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
     """Per-copy Z Gibbs + Q | Z (update_ZQ, poly_geno.c:750-836), with the
     system-correct frequency per subgenome (divergence note above).
@@ -268,19 +341,21 @@ def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
     n, s4 = geno.shape
     l = data.n_loci
     k, _, a = freq.shape
-    sys2 = (jnp.arange(s4) % 4) >= 2 if not spec.autopoly else None
+    # copy-major layout: slots 0-1 (system 1) at columns [0, 2L),
+    # slots 2-3 (system 2, allo only) at [2L, 4L)
+    sys2 = jnp.arange(s4) >= 2 * l if not spec.autopoly else None
     terms = []
     for kk in range(k):
         v1 = jnp.zeros((n, s4), freq.dtype)
         for ai in range(a):
-            vals = jnp.repeat(freq[kk, :, ai], 4)[None]
+            vals = jnp.tile(freq[kk, :, ai], 4)[None]
             v1 = jnp.where(geno == ai, vals, v1)
         if spec.autopoly:
             v = v1
         else:
             v2 = jnp.zeros((n, s4), freq.dtype)
             for ai in range(a):
-                vals = jnp.repeat(freq2[kk, :, ai], 4)[None]
+                vals = jnp.tile(freq2[kk, :, ai], 4)[None]
                 v2 = jnp.where(geno == ai, vals, v2)
             v = jnp.where(sys2[None], v2, v1)
         terms.append(q[:, kk][:, None] * v)
@@ -294,12 +369,12 @@ def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
         cum = cum + terms[kk]
         z = z + (u > cum).astype(jnp.int32)
 
-    valid = jnp.repeat(data.site_valid, 4, axis=1)
+    valid = jnp.tile(data.site_valid, (1, 4))
     cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
             for kk in range(k)]
     qqnum = jnp.stack(cols, axis=1)
     q_new = up.dirichlet_from_counts(kq, qqnum + alpha)
-    return z, q_new
+    return z.astype(jnp.int8), q_new
 
 
 def _candidate_slots(tables: TetraTables, data: Dataset, c: int):
@@ -378,7 +453,7 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
         for c in range(n_cand):
             val = jnp.where(choice == c, cand_slots[c][m], val)
         geno_slots.append(val)
-    return jnp.stack(geno_slots, axis=-1).reshape(n, l * 4)
+    return jnp.concatenate(geno_slots, axis=1).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -411,10 +486,10 @@ def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None
             slots = _candidate_slots(tables, data, c)
             val = jnp.where(choice == c, slots[m], val)
         geno_slots.append(val)
-    geno = jnp.stack(geno_slots, axis=-1).reshape(n, l * 4)
+    geno = jnp.concatenate(geno_slots, axis=1).astype(jnp.int8)
 
-    z = jax.random.randint(kz, (n, l * 4), 0, k)
-    valid = jnp.repeat(data.site_valid, 4, axis=1)
+    z = jax.random.randint(kz, (n, l * 4), 0, k).astype(jnp.int8)
+    valid = jnp.tile(data.site_valid, (1, 4))
     cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
             for kk in range(k)]
     alpha = jax.random.uniform(kal) * spec.alpha_prior_max
@@ -453,11 +528,13 @@ def build_tetra_step(spec: ModelSpec, data: Dataset):
                          "n_distinct (load with ploid=4)")
     tables = build_tables(spec, data)
     l = data.n_loci
+    fused = _tetra_use_pallas(spec, data)
+    p_update = _update_p_tetra_fused if fused else _update_p_tetra
 
     def step(state: McmcState, key) -> McmcState:
         kp, ks, kz, kg, ka = jax.random.split(key, 5)
 
-        freq, freq2 = _update_p_tetra(kp, spec, data, state.z, state.geno)
+        freq, freq2 = p_update(kp, spec, data, state.z, state.geno)
         if freq2 is None:
             freq2 = state.freq2
         state = state._replace(freq=freq, freq2=freq2)
@@ -496,8 +573,12 @@ def build_tetra_step(spec: ModelSpec, data: Dataset):
         geno_table = jnp.where(accept[:, None, None], tab_prop, tab_cur)
 
         # --- Z, Q ------------------------------------------------------
-        z, q = _update_zq_tetra(kz, tables, spec, data, freq, freq2,
-                                state.q, state.alpha, state.geno)
+        if fused:
+            z, q = _update_zq_tetra_fused(kz, spec, data, freq, freq2,
+                                          state.q, state.alpha, state.geno)
+        else:
+            z, q = _update_zq_tetra(kz, tables, spec, data, freq, freq2,
+                                    state.q, state.alpha, state.geno)
         state = state._replace(z=z, q=q)
 
         # --- latent genotype ordering ---------------------------------

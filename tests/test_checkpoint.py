@@ -60,7 +60,7 @@ def test_checkpoint_format_v2_field_path_keys(tmp_path):
              checkpoint_dir=str(d), checkpoint_every=30)
     step = ckpt.latest_step(str(d))
     meta = json.load(open(ckpt._meta_path(str(d), step)))
-    assert meta["format_version"] == ckpt.FORMAT_VERSION == 2
+    assert meta["format_version"] == ckpt.FORMAT_VERSION >= 2
     assert any("freq" in k for k in meta["keys"])
     assert any("rates" in k for k in meta["keys"])
 
@@ -84,6 +84,30 @@ def test_checkpoint_legacy_v1_restorable(tmp_path):
     got = ckpt.restore_checkpoint(str(tmp_path), 10, template)
     for a, b in zip(jax.tree.leaves(got), leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v2_tetra_checkpoint_rejected(tmp_path):
+    """A v2 checkpoint with a tetraploid geno leaf is refused: v2 stored
+    the latents copy-interleaved, v3 is copy-major — a silent restore
+    would permute allele copies."""
+    import json
+
+    import orbax.checkpoint as ocp
+    import pytest
+
+    from instruct_tpu import checkpoint as ckpt
+
+    payload = {"geno": np.zeros((3, 8), np.int8),
+               "rates": np.ones(2, np.float32)}
+    w = ocp.StandardCheckpointer()
+    w.save(ckpt._ckpt_path(str(tmp_path), 5), payload, force=True)
+    w.wait_until_finished()
+    with open(ckpt._meta_path(str(tmp_path), 5), "w") as fh:
+        json.dump({"format_version": 2, "step": 5,
+                   "keys": list(payload)}, fh)
+    with pytest.raises(ValueError, match="copy-interleaved"):
+        ckpt.restore_checkpoint(str(tmp_path), 5,
+                                jax.tree.map(np.zeros_like, payload))
 
 
 def test_resume_recomputes_zcounts(tmp_path):
