@@ -40,12 +40,98 @@ def read_c_baseline() -> float:
     return float(m.group(1))
 
 
+def bench_tetra(args):
+    """Tetraploid benchmark (--tetra auto|allo): 500 x 5k K=3 panel,
+    measures chain-steps/s of the full ploid-4 sweep (poly_geno.c engine
+    rebuilt in tetra/engine.py) and ESS/s of the per-pop selfing rates.
+    Prints one JSON line; results recorded in BASELINE.md."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    import jax.numpy as jnp
+
+    from instruct_tpu.config import ModelSpec
+    from instruct_tpu.data.synthetic import synthetic_tetra_panel
+    from instruct_tpu.diagnostics import effective_sample_size
+    from instruct_tpu.mcmc.state import init_state
+    from instruct_tpu.mcmc.step import build_step_parts
+
+    if args.quick:
+        n, l, k = 100, 500, 2
+        t_measure, t_trace = 20, 60
+    else:
+        n, l, k = 500, 5000, 3
+        t_measure, t_trace = 30, 600
+    autopoly = args.tetra != "allo"
+    panel = synthetic_tetra_panel(n_indv=n, n_loci=l, n_pops=k,
+                                  n_alleles=args.tetra_alleles,
+                                  autopoly=autopoly, seed=7)
+    spec = ModelSpec(mode=2, ploid=4, n_pops=k, autopoly=autopoly)
+    step_core, add_loglik = build_step_parts(spec, panel.data)
+    c = args.chains
+    thinning = 10
+
+    def chain_block(state, key_steps):
+        def body(st, i):
+            st = step_core(st, jax.random.fold_in(key_steps, i))
+            st = jax.lax.cond((i + 1) % thinning == 0, add_loglik,
+                              lambda s: s, st)
+            return st, st.rates
+        return jax.lax.scan(body, state,
+                            jnp.arange(t_measure, dtype=jnp.int32))
+
+    vblock = jax.jit(jax.vmap(chain_block))
+    keys = jax.random.split(jax.random.key(0), c)
+    states = jax.vmap(lambda kk: init_state(kk, spec, panel.data))(keys)
+    states, _ = jax.block_until_ready(vblock(states, keys))
+
+    t0 = time.time()
+    states, _ = jax.block_until_ready(vblock(states, jax.vmap(
+        lambda kk: jax.random.fold_in(kk, 1))(keys)))
+    dt = time.time() - t0
+    chain_steps_per_sec = t_measure * c / dt
+
+    traces = []
+    for b in range(max(1, t_trace // t_measure)):
+        states, tr = vblock(states, jax.vmap(
+            lambda kk: jax.random.fold_in(kk, 100 + b))(keys))
+        traces.append(np.asarray(tr))
+    jax.block_until_ready(states)
+    trace = np.concatenate(traces, axis=0)
+
+    ess_total = sum(effective_sample_size(trace[:, ci, kk])
+                    for ci in range(c) for kk in range(k))
+    ess_per_chain_step = ess_total / (trace.shape[0] * c)
+    ess_per_sec = ess_per_chain_step * chain_steps_per_sec
+
+    print(json.dumps({
+        "metric": f"tetra_{args.tetra}_ess_per_sec_selfing_rates_500x5k",
+        "value": round(float(ess_per_sec), 3),
+        "unit": "ESS/s",
+        "vs_baseline": -1.0,
+        "detail": {
+            "chain_steps_per_sec": round(chain_steps_per_sec, 3),
+            "ms_per_chain_step": round(1e3 * c / chain_steps_per_sec, 3),
+            "ess_per_chain_step": round(float(ess_per_chain_step), 5),
+            "chains": c, "panel": [n, l, k],
+            "alleles": args.tetra_alleles, "autopoly": autopoly,
+        },
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small panel / short run for smoke testing")
     ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--tetra", choices=["auto", "allo"], default=None,
+                    help="benchmark the tetraploid engine instead of the "
+                         "diploid headline config")
+    ap.add_argument("--tetra-alleles", type=int, default=4)
     args = ap.parse_args()
+    if args.tetra:
+        return bench_tetra(args)
 
     import jax
     # The axon remote-compile path costs minutes per program; the persistent

@@ -35,7 +35,11 @@ except Exception:                      # pragma: no cover
 #    copy-interleaved to copy-major [N, 4L] layout and int8 storage; v<=2
 #    tetraploid checkpoints are rejected (a silent restore would permute
 #    allele copies).  Diploid checkpoints are layout-identical across 2-3.
-FORMAT_VERSION = 3
+# 4: adds states.loglik_marg and accums.{mean,mean_sq}.ll_marg (corrected-
+#    DIC moments).  v3 checkpoints restore with those leaves kept at the
+#    template value (0) — the DIC E-term then covers post-resume samples
+#    only, which restore_checkpoint surfaces via the saved key list.
+FORMAT_VERSION = 4
 
 
 def _ckpt_path(directory: str, step: int) -> str:
@@ -130,11 +134,18 @@ def restore_checkpoint(directory: str, step: int, template: Any) -> Any:
                     "allele copies; rerun from the initial state")
     if version < 2:                    # legacy positional keys
         keys = [f"leaf_{i}" for i in range(len(leaves))]
+    saved_keys = None
+    try:
+        with open(_meta_path(directory, step)) as fh:
+            saved_keys = set(json.load(fh).get("keys", []) or []) or None
+    except (OSError, ValueError):
+        pass
     if _HAVE_ORBAX:
         ckpt = ocp.StandardCheckpointer()
         abstract = {k: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
                     for k, x in zip(keys, leaves)
-                    if not (hasattr(x, "size") and x.size == 0)}
+                    if not (hasattr(x, "size") and x.size == 0)
+                    and (saved_keys is None or k in saved_keys)}
         d = ckpt.restore(path, abstract)
     else:                              # pragma: no cover
         d = dict(np.load(os.path.join(path, "state.npz")))

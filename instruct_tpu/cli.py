@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "GSPMD auto-partitioning")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: jax.distributed coordinator "
+                        "address (host:port); on TPU pods auto-detected "
+                        "when --num-processes is given")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id")
     p.add_argument("--sampler", default="gibbs",
                    choices=["gibbs", "hmc", "nuts", "svi", "smc"],
                    help="inference engine (gibbs = reference-family MCMC)")
@@ -91,6 +99,13 @@ def main(argv=None) -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.num_processes or args.coordinator:
+        # every host runs the same CLI line except --process-id; chains are
+        # sharded across hosts by the ("chain","data") mesh below
+        from instruct_tpu.parallel.distributed import initialize_multihost
+        initialize_multihost(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
@@ -143,6 +158,10 @@ def main(argv=None) -> int:
     if args.chain_shards or args.data_shards:
         from instruct_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.chain_shards, args.data_shards)
+    elif jax.process_count() > 1:
+        # multi-host default: all global devices on the chain axis
+        from instruct_tpu.parallel.distributed import global_chain_mesh
+        mesh = global_chain_mesh()
 
     n_rates = spec.n_rates(panel.n_indv)
     init_rates, chain_names = read_init(args.initfile, args.chainnum,
@@ -164,15 +183,27 @@ def main(argv=None) -> int:
         print("THE JOB IS SUCCESSFULLY FINISHED")
         return 0
 
+    echo = {"datafile": args.datafile, "initfile": args.initfile,
+            "outfile": args.outfile, "missing": args.missing,
+            "siglevel": args.siglevel,
+            "seeds": args.seeds if args.seeds is not None else None}
+
     if args.inf_k:
+        from instruct_tpu.report import write_kselect_report
         n_small, n_large = (args.k_range if args.k_range else (1, 0))
         with profile_ctx:
             ksel = infer_k(panel.data, spec, sched, key, n_small, n_large,
-                           mesh=mesh)
-        res = ksel.results[ksel.best_k]
-        import dataclasses as _dc
-        spec = _dc.replace(spec, n_pops=ksel.best_k)
+                           mesh=mesh, init_rates=init_rates,
+                           track_freq=bool(args.print_freq)
+                           or spec.ploid == 2)
+        write_kselect_report(args.outfile, panel, spec, sched, ksel,
+                             chain_names=chain_names, argv=sys.argv,
+                             distr_fmt=args.distr_fmt,
+                             print_freq=bool(args.print_freq),
+                             gr_flag=bool(args.gr_flag), echo=echo)
         print(f"The optimal K is {ksel.best_k}")
+        print("THE JOB IS SUCCESSFULLY FINISHED")
+        return 0
     else:
         # print_info cadence: every 1% of iterations (mcmc.c:1273)
         progress = (max(1, args.update // 100) if args.print_iter else None)
@@ -186,10 +217,14 @@ def main(argv=None) -> int:
                            progress_every=progress,
                            jsonl_log=args.jsonl_log)
 
+    if jax.process_id() != 0:
+        # multi-host: summaries are allgathered on every host; only the
+        # coordinator writes the report
+        return 0
     write_report(args.outfile, panel, spec, sched, res,
                  chain_names=chain_names, argv=sys.argv,
                  distr_fmt=args.distr_fmt, print_freq=bool(args.print_freq),
-                 gr_flag=bool(args.gr_flag))
+                 gr_flag=bool(args.gr_flag), echo=echo)
 
     if args.convgfile:
         convg = np.asarray(res.accum.convg_ld).reshape(-1)

@@ -155,9 +155,16 @@ class Schedule:
     n_chains: int = 2
     ckrep: int = 20                    # stored iters used for Gelman-Rubin
     nstep_check_empty_cluster: int = 20
+    dic_every: int = 10                # refresh cadence (in stored-step
+    #   units) of the Z-marginalized log-lik that feeds the corrected DIC:
+    #   the extra site pass runs every dic_every-th stored step and the
+    #   value is held constant in between (an unbiased subsampled mean), so
+    #   the hot loop pays ~1/(thinning*dic_every) of a site pass per step.
 
     def __post_init__(self):
         retained = (self.n_iter - self.burnin) // self.thinning
+        if self.dic_every < 1:
+            raise ValueError("dic_every must be >= 1")
         if self.burnin <= 0:
             raise ValueError("Burn-in should not be zero!")  # InStruct.c:299-300
         if self.ckrep > retained:

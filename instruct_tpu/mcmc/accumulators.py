@@ -34,6 +34,13 @@ class TrackedStats(NamedTuple):
     rates: jnp.ndarray      # f32[R]
     gen: jnp.ndarray        # f32[N] or f32[0]
     freq: jnp.ndarray       # f32[K, L, A] or f32[0]
+    ll_marg: jnp.ndarray    # f32[N] Z-marginalized per-individual log-lik
+    #   (refreshed every Schedule.dic_every-th stored step and held
+    #   constant between refreshes — repeats weight the subsample
+    #   uniformly, so every statistic below is an unbiased subsampled
+    #   estimate).  mean -> the E[logL] term of the corrected DIC;
+    #   mean/mean_sq -> the per-individual Var[logL_i] of WAIC's pwaic.
+    #   Size 0 for the tetraploid engine.
 
 
 class ChainAccum(NamedTuple):
@@ -47,6 +54,16 @@ class ChainAccum(NamedTuple):
     #   mcmc.c:223-225)
     empty_cluster: jnp.ndarray  # bool[] — latched at the
     #   nstep_check_empty_cluster-th stored sample (mcmc.c:227-234)
+    lme_indv: jnp.ndarray     # f32[N] running log-mean-exp of the
+    #   per-individual Z-marginalized log-lik: log E[p(y_i | theta)], the
+    #   lppd term of WAIC (Watanabe 2010).  Label-invariant, unlike the
+    #   DIC plug-in — the statistic K-selection uses (kselect.py).
+    #   Size 0 for the tetraploid engine.
+    m2_ll_marg: jnp.ndarray   # f32[N] Welford sum of squared deviations of
+    #   the per-individual marginal log-lik — Var[log p(y_i|theta)] =
+    #   m2/count is WAIC's pwaic_2 term.  A separate centered accumulator
+    #   because E[x^2]-E[x]^2 in f32 cancels catastrophically at
+    #   |logL_i| ~ 1e3.
 
 
 def extract_stats(spec: ModelSpec, state: McmcState, track_freq: bool
@@ -58,6 +75,8 @@ def extract_stats(spec: ModelSpec, state: McmcState, track_freq: bool
     gen = (state.gen.astype(jnp.float32) if spec.has_selfing
            else jnp.zeros((0,), jnp.float32))
     freq = state.freq if track_freq else jnp.zeros((0,), jnp.float32)
+    ll_marg = (state.loglik_marg if state.loglik_marg is not None
+               else jnp.zeros((0,), jnp.float32))
     return TrackedStats(
         total_ll=state.loglik_total,
         indv_ll=state.loglik_indv,
@@ -65,6 +84,7 @@ def extract_stats(spec: ModelSpec, state: McmcState, track_freq: bool
         rates=state.rates,
         gen=gen,
         freq=freq,
+        ll_marg=ll_marg,
     )
 
 
@@ -82,6 +102,7 @@ def init_accum(spec: ModelSpec, sched: Schedule, data: Dataset,
         rates=jnp.zeros((r,)),
         gen=jnp.zeros((n,) if spec.has_selfing else (0,)),
         freq=jnp.zeros((k, l, a) if track_freq else (0,)),
+        ll_marg=jnp.zeros((n,) if spec.ploid == 2 else (0,)),
     )
     return ChainAccum(
         count=jnp.zeros((), jnp.int32),
@@ -89,6 +110,8 @@ def init_accum(spec: ModelSpec, sched: Schedule, data: Dataset,
         mean_sq=zeros,
         convg_ld=jnp.zeros((sched.ckrep,)),
         empty_cluster=jnp.asarray(False),
+        lme_indv=jnp.full((n,) if spec.ploid == 2 else (0,), -jnp.inf),
+        m2_ll_marg=jnp.zeros((n,) if spec.ploid == 2 else (0,)),
     )
 
 
@@ -123,8 +146,27 @@ def accum_update(accum: ChainAccum, stats: TrackedStats, store: jnp.ndarray,
 
     latch = (new_count == check_at) & (accum.count != new_count)
     empty = accum.empty_cluster | (latch & empty_flag)
+
+    # running log-mean-exp of exp(ll_marg_i): lme_{n+1} =
+    # logaddexp(lme_n + log n, x) - log(n+1) — WAIC's lppd term, updated
+    # with the same store weight as the moments (stable: ll values stay in
+    # log space throughout)
+    prev = jnp.where(accum.count > 0,
+                     accum.lme_indv + jnp.log(
+                         jnp.maximum(accum.count.astype(jnp.float32), 1.0)),
+                     -jnp.inf)
+    lme_new = (jnp.logaddexp(prev, stats.ll_marg)
+               - jnp.log(denom))
+    lme = jnp.where(store > 0, lme_new, accum.lme_indv)
+
+    # Welford M2 for the marginal log-lik (old mean BEFORE this draw, new
+    # mean after): m2 += w (x - m_old)(x - m_new)
+    m2 = accum.m2_ll_marg + w * ((stats.ll_marg - accum.mean.ll_marg)
+                                 * (stats.ll_marg - mean.ll_marg))
+
     return ChainAccum(count=new_count, mean=mean, mean_sq=mean_sq,
-                      convg_ld=convg, empty_cluster=empty)
+                      convg_ld=convg, empty_cluster=empty, lme_indv=lme,
+                      m2_ll_marg=m2)
 
 
 def variance(accum: ChainAccum) -> TrackedStats:

@@ -39,6 +39,9 @@ class RunResult:
     accum: ChainAccum          # streaming moments per chain
     final_state: McmcState     # last draw per chain (for resume / debugging)
     n_retries: int
+    plugin_ll: Optional[np.ndarray] = None  # per-chain Z-marginalized
+    #   log-lik at the posterior means (the plug-in term of the corrected
+    #   DIC); filled when the run tracked P (track_freq) on a diploid model
 
     @property
     def posterior_mean(self):
@@ -49,13 +52,102 @@ class RunResult:
         return jax.tree.map(lambda m2, m: m2 - m * m,
                             self.accum.mean_sq, self.accum.mean)
 
-    def dic(self) -> np.ndarray:
-        """Per-chain DIC as the reference computes it
+    def dic_reference(self) -> np.ndarray:
+        """Per-chain DIC exactly as the reference computes it
         (print_lkh_to_file, result_analysis.c:403-411):
-        DIC = -4 E[logL] + 2 sum_j E[logL_j]."""
+        -4 E[logL] + 2 sum_j E[logL_j].  Because the reference's "plug-in"
+        term is itself the posterior-mean log-lik, this degenerates to
+        -2 E[logL] — no complexity penalty (survey §2.1 quirk list).
+        Kept as a separate column for binary comparison."""
         mean_total = np.asarray(self.accum.mean.total_ll)
         mean_indv = np.asarray(self.accum.mean.indv_ll).sum(axis=-1)
         return -4.0 * mean_total + 2.0 * mean_indv
+
+    def dic(self) -> np.ndarray:
+        """Per-chain *corrected* DIC (the documented intent of
+        result_analysis.c:403-411, per SURVEY.md §2.1):
+
+            DIC = Dbar + pD = -4 E[logL] + 2 logL(theta_bar)
+
+        with both terms evaluated on the same Z-marginalized likelihood
+        (likelihood.py:marginal_site_loglik) — E[logL] from the streaming
+        ll_marg moment, logL(theta_bar) at the posterior means of
+        (P, Q, G, S/F).  Falls back to the reference-compatible formula
+        when the plug-in is unavailable (tetraploid engine, or the run did
+        not track P)."""
+        if self.plugin_ll is None:
+            return self.dic_reference()
+        dbar = -2.0 * np.asarray(self.accum.mean.ll_marg).sum(axis=-1)
+        dplug = -2.0 * np.asarray(self.plugin_ll)
+        return 2.0 * dbar - dplug
+
+    def p_d(self) -> Optional[np.ndarray]:
+        """Effective number of parameters pD = Dbar - D(theta_bar)
+        (Spiegelhalter et al. 2002); None when no plug-in is available."""
+        if self.plugin_ll is None:
+            return None
+        dbar = -2.0 * np.asarray(self.accum.mean.ll_marg).sum(axis=-1)
+        dplug = -2.0 * np.asarray(self.plugin_ll)
+        return dbar - dplug
+
+    def waic(self) -> Optional[np.ndarray]:
+        """Per-chain WAIC (Watanabe 2010):
+
+            WAIC = -2 sum_i ( log E[p(y_i|theta)] - Var[log p(y_i|theta)] )
+
+        computed from the streaming per-individual log-mean-exp (lppd) and
+        moments (pwaic_2) of the Z-marginalized likelihood.  Every term is
+        a posterior expectation of a label-INVARIANT quantity, so — unlike
+        any DIC plug-in — it is immune to within-chain label switching.
+        Mixture models are singular, where DIC's pD collapses exactly when
+        redundant clusters wander (Watanabe's regime); K-selection
+        therefore ranks on WAIC (kselect.py), with both DICs reported
+        alongside.  None for the tetraploid engine (no marginal form)."""
+        lme = np.asarray(self.accum.lme_indv)
+        if lme.size == 0 or not np.isfinite(lme).all():
+            return None
+        pw = self.p_waic()
+        return -2.0 * lme.sum(axis=-1) + 2.0 * pw
+
+    def p_waic(self) -> Optional[np.ndarray]:
+        """pwaic_2 = sum_i Var[log p(y_i|theta)] from the centered Welford
+        accumulator (population variance over the stored subsample)."""
+        lme = np.asarray(self.accum.lme_indv)
+        if lme.size == 0 or not np.isfinite(lme).all():
+            return None
+        count = np.maximum(np.asarray(self.accum.count, np.float64), 1.0)
+        pw = np.asarray(self.accum.m2_ll_marg) / count[..., None]
+        return pw.sum(axis=-1)
+
+    def waic_indv(self) -> Optional[np.ndarray]:
+        """Per-chain, per-individual WAIC contributions [-2 (lppd_i -
+        pwaic_i)]; WAIC is their sum, and their spread gives its Monte-
+        Carlo-free sampling SE (Vehtari, Gelman & Gabry 2017)."""
+        lme = np.asarray(self.accum.lme_indv)
+        if lme.size == 0 or not np.isfinite(lme).all():
+            return None
+        count = np.maximum(np.asarray(self.accum.count, np.float64), 1.0)
+        pw = np.asarray(self.accum.m2_ll_marg) / count[..., None]
+        return -2.0 * (lme - pw)
+
+    def waic_se(self) -> Optional[float]:
+        """Standard error of WAIC: sqrt(N) * sd over individuals of the
+        chain-averaged per-individual contributions."""
+        wi = self.waic_indv()
+        if wi is None:
+            return None
+        n = wi.shape[-1]
+        return float(np.sqrt(n) * wi.mean(axis=0).std())
+
+
+def _host(x) -> np.ndarray:
+    """Fetch an array to host numpy, allgathering across processes when it
+    spans hosts (multi-host runs, parallel/distributed.py): np.asarray on a
+    non-fully-addressable jax.Array raises."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
@@ -91,9 +183,12 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
         return state, accum, k_steps
 
     def run_segment(state, accum, k_steps, idxs, rt_data: Dataset):
+        from instruct_tpu.mcmc.step import build_marg_loglik
         step_core, add_loglik = (tetra_parts if tetra
                                  else build_step_parts(spec, rt_data,
                                                        axis_name))
+        add_marg = (None if tetra
+                    else build_marg_loglik(spec, rt_data, axis_name))
         last_idx = idxs[-1]
 
         def body(carry, step_idx):
@@ -107,6 +202,14 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
             # rather than select-both.
             state = jax.lax.cond(stored | (step_idx == last_idx),
                                  add_loglik, lambda s: s, state)
+            if add_marg is not None:
+                # Z-marginalized log-lik for the corrected DIC, refreshed
+                # on a subsampled stored-step cadence (held constant in
+                # between — the repeated value is an unbiased subsample
+                # mean of E[logL_marg]).
+                nth = (step_idx + 1 - sched.burnin) // sched.thinning - 1
+                due = stored & (nth % sched.dic_every == 0)
+                state = jax.lax.cond(due, add_marg, lambda s: s, state)
             stats = extract_stats(spec, state, track_freq)
             empty = up.empty_cluster_flag(stats.q)
             accum = accum_update(accum, stats, stored, empty, check_at)
@@ -160,6 +263,7 @@ def run_mcmc(
       with the fused Pallas custom calls).
     """
     n_chains = sched.n_chains
+    host_data = data   # pre-sharding view, for the end-of-run plug-in pass
     r = spec.n_rates(data.n_indv)
     if init_rates is None:
         none_rates = True
@@ -214,7 +318,11 @@ def run_mcmc(
         if n_chains % mesh.devices.shape[0] == 0 or chain_shardmap \
                 or data_shardmap:
             cs = chain_sharding(mesh)
-            chain_keys = jax.device_put(chain_keys, cs)
+            # PRNG keys go through their uint32 key data: device_put of an
+            # extended-dtype array onto a process-spanning (multi-host)
+            # sharding is rejected, plain dtypes are not
+            kd = jax.device_put(jax.random.key_data(chain_keys), cs)
+            chain_keys = jax.jit(jax.random.wrap_key_data)(kd)
             init_rates = jax.device_put(init_rates, cs)
 
     init_chain, run_segment = _chain_runner(
@@ -243,14 +351,17 @@ def run_mcmc(
             dpm_assign=cp, prior_mu=cp, prior_sigma2=cp,
             freq2=None, geno=None,
             zcounts=(P(CHAIN_AXIS, None, DATA_AXIS, None)
-                     if has_zc else None))
+                     if has_zc else None),
+            loglik_marg=cp)
         stats_spec = TrackedStats(
             total_ll=cp, indv_ll=cp, q=cp, rates=cp, gen=cp,
             freq=(P(CHAIN_AXIS, None, DATA_AXIS, None)
-                  if track_freq else cp))
+                  if track_freq else cp),
+            ll_marg=cp)
         accum_spec = ChainAccum(count=cp, mean=stats_spec,
                                 mean_sq=stats_spec, convg_ld=cp,
-                                empty_cluster=cp)
+                                empty_cluster=cp, lme_indv=cp,
+                                m2_ll_marg=cp)
         data_spec = Dataset(geno=dp, site_valid=dp, allele_valid=dp,
                             hom=dp, distinct=None, n_distinct=None)
 
@@ -329,8 +440,8 @@ def run_mcmc(
 
     def _report(start, states, accums):
         """print_info parity (mcmc.c:1267-1316) + JSONL metrics."""
-        ll = np.asarray(states.loglik_total)
-        rates = np.asarray(states.rates)
+        ll = _host(states.loglik_total)
+        rates = _host(states.rates)
         if progress_fn is not None:
             progress_fn(start, states, accums)
         else:
@@ -413,9 +524,9 @@ def run_mcmc(
         log-lik moments or final state went NaN/Inf is discarded and rerun
         with a fresh key, the chain-level recovery the reference lacks
         (survey §5, failure detection)."""
-        empty = np.asarray(accum.empty_cluster)
-        bad_ll = ~np.isfinite(np.asarray(accum.mean.total_ll))
-        bad_state = ~np.isfinite(np.asarray(state.loglik_total))
+        empty = _host(accum.empty_cluster)
+        bad_ll = ~np.isfinite(_host(accum.mean.total_ll))
+        bad_state = ~np.isfinite(_host(state.loglik_total))
         return empty | bad_ll | bad_state
 
     state, accum = full_run(chain_keys)
@@ -433,4 +544,38 @@ def run_mcmc(
         state, accum = full_run(chain_keys)
         flags = unhealthy(state, accum)
 
-    return RunResult(accum=accum, final_state=state, n_retries=retries)
+    if jax.process_count() > 1:
+        # multi-host: pull the (small) summaries to every host so report
+        # writing, DIC/WAIC and downstream numpy consumers work unchanged
+        state = jax.tree.map(_host, state)
+        accum = jax.tree.map(_host, accum)
+    plugin_ll = None
+    if track_freq and spec.ploid == 2:
+        plugin_ll = _plugin_loglik(spec, host_data, accum)
+    return RunResult(accum=accum, final_state=state, n_retries=retries,
+                     plugin_ll=plugin_ll)
+
+
+def _plugin_loglik(spec: ModelSpec, data: Dataset, accum: ChainAccum
+                   ) -> np.ndarray:
+    """Per-chain Z-marginalized log-lik at the posterior means — the
+    D(theta_bar) pass of the corrected DIC (one extra device pass over the
+    stored moments at run end; means of Dirichlet draws are simplex-valid
+    by linearity, and genofreq's closed form accepts the real-valued
+    posterior-mean generations)."""
+    import jax.numpy as jnp
+    from instruct_tpu.model import likelihood as lk
+
+    mean = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), accum.mean)
+
+    def one_chain(m):
+        if spec.mode == 0:
+            mat = lk.loglik_matrix_nopop_admix(data, m.freq)
+            return (jax.nn.logsumexp(mat, axis=1)
+                    - jnp.log(float(spec.n_pops))).sum()
+        gen = m.gen if spec.has_selfing else None
+        rates = m.rates if m.rates.size else None
+        return lk.marginal_indv_loglik(spec, data, m.freq, m.q, gen,
+                                       rates).sum()
+
+    return np.asarray(jax.jit(jax.vmap(one_chain))(mean))

@@ -49,6 +49,13 @@ class McmcState(NamedTuple):
     #   current z (diploid modes 1-3) — carried so the fused Pallas step
     #   (kernels/fused_step.py) updates P without re-reading the site
     #   tensors; the XLA path recounts from z and leaves this untouched
+    loglik_marg: jnp.ndarray = None  # f32[N] Z-marginalized per-individual
+    #   log-lik (model/likelihood.py:marginal_indv_loglik), refreshed every
+    #   Schedule.dic_every-th stored step and folded into the streaming
+    #   moments — feeds the corrected DIC (E[logL] + plug-in) and the
+    #   label-invariant WAIC (log-mean-exp + variance per individual).
+    #   Size 0 for the tetraploid engine (no marginal form; model choice
+    #   falls back to the reference-compatible DIC there).
 
 
 def _dt_stat(rates: jnp.ndarray) -> jnp.ndarray:
@@ -159,6 +166,7 @@ def init_state(
         prior_mu=jnp.asarray(spec.priors.normal_mu0, jnp.float32),
         prior_sigma2=jnp.asarray(spec.priors.normal_sigmasqr0, jnp.float32),
         zcounts=zcounts,
+        loglik_marg=jnp.zeros((n,), jnp.float32),
     )
 
 

@@ -314,7 +314,7 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
                 "loci sharding of the tetraploid engine is not supported; "
                 "use a chain-parallel mesh for ploid=4")
         from instruct_tpu.tetra.engine import build_tetra_step
-        return build_tetra_step(spec, data), (lambda s: s)
+        return build_tetra_step(spec, data)
     if spec.mode not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"unknown mode {spec.mode}")
     if _use_fused(spec, data):
@@ -378,6 +378,40 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
         return state._replace(alpha=alpha)
 
     return step, (lambda s: _cal_lkh(spec, data, s, axis_name))
+
+
+def build_marg_loglik(spec: ModelSpec, data: Dataset, axis_name=None):
+    """`add_marg(state) -> state` filling `state.loglik_marg` with the
+    Z-marginalized total log-likelihood — the deviance focus of the
+    corrected DIC (likelihood.py:marginal_site_loglik).  Returns ``None``
+    for the tetraploid engine (no marginal form; DIC falls back to the
+    reference-compatible formula).
+
+    The driver calls this only every ``Schedule.dic_every``-th stored step
+    (holding the value constant in between is an unbiased subsampled
+    mean), so the extra K-plane site pass costs ~nothing at the default
+    thinning."""
+    if spec.ploid != 2:
+        return None
+
+    if spec.mode == 0:
+        def add_marg(state: McmcState) -> McmcState:
+            ll = up._psum(lk.loglik_matrix_nopop_admix(data, state.freq),
+                          axis_name)                       # [N, K]
+            indv = (jax.nn.logsumexp(ll, axis=1)
+                    - jnp.log(float(spec.n_pops)))
+            return state._replace(loglik_marg=indv)
+        return add_marg
+
+    def add_marg(state: McmcState) -> McmcState:
+        gen = (state.gen.astype(jnp.float32) if spec.has_selfing else None)
+        rates = state.rates if state.rates.size else None
+        indv = lk.marginal_indv_loglik(spec, data, state.freq, state.q,
+                                       gen, rates)
+        indv = up._psum(indv, axis_name)
+        return state._replace(loglik_marg=indv)
+
+    return add_marg
 
 
 def build_step(spec: ModelSpec, data: Dataset) -> Callable:

@@ -210,6 +210,75 @@ def per_indv_loglik(spec, data, freq, z, q, gen, rates) -> jnp.ndarray:
     return site_loglik(spec, data, freq, z, q, gen, rates).sum(axis=1)
 
 
+def marginal_site_loglik(
+    spec: ModelSpec,
+    data: Dataset,
+    freq: jnp.ndarray,
+    q: jnp.ndarray,
+    gen: jnp.ndarray | None,
+    rates: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Per-site log-likelihood f32[N, L] with the per-copy ancestries Z
+    summed out EXACTLY (modes 1-5, diploid).
+
+    Given (P, Q, G/F) the two copies' assignments are iid Cat(q_i), so the
+    per-locus marginal is the 2-copy mixture
+
+        sum_k q_ik^2 * joint_k  +  (m0 m1 - sum_k q_ik^2 p_k0 p_k1) * mult
+
+    where joint_k is the same-pop genotype probability (genofreq under
+    selfing for modes 2/3 — mcmc.c:1683-1703 —, the inbreeding form for
+    modes 4/5 — mcmc.c:1707-1723 —, the plain product for mode 1),
+    m_c = sum_k q_ik p_kc is the mixture per-copy probability, and
+    mult = 2 for heterozygotes (unordered genotype) and 1 for homozygotes.
+    The cross term collapses the K^2 unequal-pop pairs to one rank-1
+    correction, so the whole pass is K plane sweeps like every other site
+    kernel.
+
+    This is the deviance focus used by the *corrected* DIC (the reference's
+    DIC degenerates to -2 E[logL] because its "plug-in" term re-uses the
+    posterior-mean log-lik, result_analysis.c:403-411; survey §2.1 quirk
+    list): both the running E[logL] term and the plug-in term evaluate this
+    same marginal, so pD = 2(logL(theta_bar) - E[logL]) is a real
+    complexity penalty.  ``gen`` may be real-valued (posterior means) —
+    genofreq_selfing's closed form extends smoothly via 2^{1-g}.
+    """
+    p = data.ploid
+    hom = data.hom
+    mult = jnp.where(hom, 1.0, 2.0)
+    m0 = m1 = same = joint = 0.0
+    for k, pk in enumerate(per_pop_copy_probs(freq, data)):
+        pk0, pk1 = split_copies(pk, p)
+        qk = q[:, k][:, None]
+        m0 = m0 + qk * pk0
+        m1 = m1 + qk * pk1
+        same = same + (qk * qk) * (pk0 * pk1)
+        if spec.mode in (2, 3):
+            g = gen[:, None].astype(pk0.dtype)
+            jk = genofreq_selfing(pk0, pk1, hom, g)
+        elif spec.mode in (4, 5):
+            f = rates[k] if spec.mode == 4 else rates[:, None]
+            jk = genofreq_inbreeding(pk0, pk1, hom, f)
+        else:  # mode 1: plain product; mult applied uniformly below
+            jk = pk0 * pk1
+        joint = joint + (qk * qk) * jk
+    cross = m0 * m1 - same
+    if spec.mode == 1:
+        prob = (joint + cross) * mult          # = mult * m0 * m1
+    else:
+        # genofreq_* already carries the het factor 2 in joint_k
+        prob = joint + cross * mult
+    site = _safe_log(prob)
+    return jnp.where(data.site_valid, site, 0.0)
+
+
+def marginal_indv_loglik(spec, data, freq, q, gen, rates) -> jnp.ndarray:
+    """f32[N] Z-marginalized per-individual log-lik (sum of
+    :func:`marginal_site_loglik` over loci; psum by the caller under loci
+    sharding)."""
+    return marginal_site_loglik(spec, data, freq, q, gen, rates).sum(axis=1)
+
+
 def allele_count_matrix(data: Dataset) -> jnp.ndarray:
     """cnt f32[N, A, L]: per individual, per (allele, locus), the number of
     valid copies carrying that allele — laid out with L trailing.  Reused

@@ -417,11 +417,22 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
     nm = tables.n_max
     a = freq.shape[2]
 
-    weights = []
-    cand_slots = []
+    # number of valid candidates per site (scalar selects, not a gather)
+    npat = tables.n_patterns_np
+    nc = jnp.full_like(cnt, int(npat[1]))
+    for v in (2, 3, 4):
+        nc = jnp.where(cnt == v, int(npat[v]), nc)
+
+    # Streaming Gumbel-argmax over the candidate bank: the categorical
+    # draw keeps only a running (best value, best index) pair, so peak
+    # live memory is a few [N, L] planes instead of the [N, C, L]
+    # weight + gumbel stacks (C up to 12) the stacked formulation
+    # materializes — the VMEM/HBM restructure of update_geno
+    # (poly_geno.c:520-580) flagged in round 3.
+    best_val = jnp.full((n, l), _NEG)
+    choice = jnp.zeros((n, l), jnp.int32)
     for c in range(n_cand):
         slots = _candidate_slots(tables, data, c)
-        cand_slots.append(slots)
         packed = (((slots[0] * nm + slots[1]) * nm + slots[2]) * nm
                   + slots[3])
         cls_idx = _select_or_gather(tables.lookup[tables.cls], packed)
@@ -434,24 +445,22 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
                 val = jnp.where(slots[m] == ai, mix[ai], val)
             w_mix = w_mix + _slog(val)
         w = jnp.where(same_z, w_same, w_mix)
-        # scalar selects instead of a tiny-table gather (see _candidate_slots)
-        npat = tables.n_patterns_np
-        nc = jnp.full_like(cnt, int(npat[1]))
-        for v in (2, 3, 4):
-            nc = jnp.where(cnt == v, int(npat[v]), nc)
-        valid_c = c < nc
-        weights.append(jnp.where(valid_c, w, _NEG))
-
-    wstack = jnp.stack(weights, axis=1)                      # [N, C, L]
-    gumbel = -jnp.log(-jnp.log(
-        jax.random.uniform(key, wstack.shape, minval=1e-12, maxval=1.0)))
-    choice = jnp.argmax(wstack + gumbel, axis=1)             # [N, L]
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+            jax.random.fold_in(key, c), (n, l), minval=1e-12, maxval=1.0)))
+        v = jnp.where(c < nc, w + gumbel, _NEG)
+        take = v > best_val
+        best_val = jnp.where(take, v, best_val)
+        choice = jnp.where(take, c, choice)
 
     geno_slots = []
     for m in range(4):
         val = jnp.zeros((n, l), jnp.int32)
         for c in range(n_cand):
-            val = jnp.where(choice == c, cand_slots[c][m], val)
+            # _candidate_slots is a handful of selects over the distinct-
+            # allele planes; recomputing per output slot keeps live memory
+            # at a few [N, L] planes (XLA CSEs the repeats it can)
+            val = jnp.where(choice == c,
+                            _candidate_slots(tables, data, c)[m], val)
         geno_slots.append(val)
     return jnp.concatenate(geno_slots, axis=1).astype(jnp.int8)
 
@@ -517,12 +526,17 @@ def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None
         prior_mu=jnp.asarray(spec.priors.normal_mu0, jnp.float32),
         prior_sigma2=jnp.asarray(spec.priors.normal_sigmasqr0, jnp.float32),
         freq2=freq0, geno=geno,
+        loglik_marg=jnp.zeros((0,), jnp.float32),
     )
 
 
 def build_tetra_step(spec: ModelSpec, data: Dataset):
-    """One full tetraploid sweep (the step body of mcmc_POP_tetra_selfing,
-    poly_geno.c:98-136): P (+P2), exfreq, S, ZQ, geno, loglik."""
+    """(step_core, add_loglik) for one tetraploid sweep (the step body of
+    mcmc_POP_tetra_selfing, poly_geno.c:98-136): P (+P2), exfreq, S, ZQ,
+    geno; the likelihood pass (cal_lkd, poly_geno.c:715) is split out so
+    the chain driver evaluates it only on stored/reported steps — the same
+    deferral the diploid engine gets from build_step_parts (at the default
+    thinning of 10 this removes ~90% of the cal_lkd passes)."""
     if data.distinct is None:
         raise ValueError("tetraploid step needs Dataset.distinct / "
                          "n_distinct (load with ploid=4)")
@@ -530,6 +544,17 @@ def build_tetra_step(spec: ModelSpec, data: Dataset):
     l = data.n_loci
     fused = _tetra_use_pallas(spec, data)
     p_update = _update_p_tetra_fused if fused else _update_p_tetra
+
+    def add_loglik(state: McmcState) -> McmcState:
+        # the genotype-class table is a pure function of (freq, freq2, S):
+        # rebuilding it here is O(K L G) + the per-class batched solves —
+        # cheap next to the [N, L] site pass it feeds
+        log_hwe = log_hwe_table(tables, spec, state.freq, state.freq2)
+        table = selfing_equilibrium(tables, log_hwe, state.rates)
+        site = _site_loglik(tables, spec, data, state.freq, state.freq2,
+                            state.z, state.geno, table)
+        indv = site.sum(axis=1)
+        return state._replace(loglik_indv=indv, loglik_total=indv.sum())
 
     def step(state: McmcState, key) -> McmcState:
         kp, ks, kz, kg, ka = jax.random.split(key, 5)
@@ -586,12 +611,8 @@ def build_tetra_step(spec: ModelSpec, data: Dataset):
                             geno_table, z)
         state = state._replace(geno=geno)
 
-        # --- alpha + likelihood ---------------------------------------
+        # --- alpha ----------------------------------------------------
         alpha = up.update_alpha(ka, spec, q, state.alpha)
-        site = _site_loglik(tables, spec, data, freq, freq2, z, geno,
-                            geno_table)
-        indv = site.sum(axis=1)
-        return state._replace(alpha=alpha, loglik_indv=indv,
-                              loglik_total=indv.sum())
+        return state._replace(alpha=alpha)
 
-    return step
+    return step, add_loglik

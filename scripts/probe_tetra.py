@@ -19,7 +19,7 @@ panel = synthetic_tetra_panel(n_indv=N, n_loci=L, n_pops=K, n_alleles=2,
 data = panel.data
 spec = ModelSpec(mode=2, n_pops=K, ploid=4)
 st = init_tetra_state(jax.random.key(0), spec, data)
-step = build_tetra_step(spec, data)
+step, add_ll = build_tetra_step(spec, data)
 tables = build_tables(spec, data)
 S = 100
 key = jax.random.key(1)

@@ -1,0 +1,118 @@
+"""Corrected DIC: marginal-likelihood exactness, pD sanity, and true-K
+recovery of the K-selection sweep (the statistic the reference's degenerate
+DIC cannot provide — result_analysis.c:403-411 collapses to -2 E[logL]).
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instruct_tpu.config import ModelSpec, Schedule
+from instruct_tpu.data.synthetic import synthetic_panel
+from instruct_tpu.kselect import infer_k
+from instruct_tpu.mcmc.driver import run_mcmc
+from instruct_tpu.model import likelihood as lk
+
+
+def _brute_marginal(spec, data, freq, q, gen, rates):
+    """Exact marginal over the two copies' z by explicit K^2 enumeration,
+    built on the (independently tested) conditional site_loglik."""
+    n, l = data.hom.shape
+    k = freq.shape[0]
+    total = np.zeros((n, l))
+    for k0, k1 in itertools.product(range(k), range(k)):
+        z = np.concatenate([np.full((n, l), k0, np.int8),
+                            np.full((n, l), k1, np.int8)], axis=1)
+        site = np.asarray(lk.site_loglik(spec, data, freq, jnp.asarray(z),
+                                         q, gen, rates))
+        w = np.asarray(q[:, k0] * q[:, k1])[:, None]
+        total += w * np.exp(site)
+    out = np.log(np.maximum(total, 1e-300))
+    return np.where(np.asarray(data.site_valid), out, 0.0)
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3, 4, 5])
+def test_marginal_site_loglik_matches_bruteforce(mode):
+    panel = synthetic_panel(n_indv=7, n_loci=11, n_pops=3, n_alleles=3,
+                            missing_rate=0.1, seed=mode)
+    data = panel.data
+    spec = ModelSpec(mode=mode, n_pops=3, type_freq=1)
+    key = jax.random.key(42)
+    kf, kq, kg, kr = jax.random.split(key, 4)
+    freq = jax.random.dirichlet(kf, jnp.ones(3), (3, data.n_loci))
+    q = jax.random.dirichlet(kq, jnp.ones(3), (7,))
+    gen = (jax.random.randint(kg, (7,), 1, 6).astype(jnp.float32)
+           if mode in (2, 3) else None)
+    r = spec.n_rates(7)
+    rates = (jax.random.uniform(kr, (r,), minval=0.05, maxval=0.9)
+             if r else None)
+
+    got = np.asarray(lk.marginal_site_loglik(spec, data, freq, q, gen,
+                                             rates))
+    want = _brute_marginal(spec, data, freq, q, gen, rates)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_corrected_dic_and_pd():
+    """pD is positive and the corrected DIC differs from the degenerate
+    reference formula by exactly 2 (logL(theta_bar) - E[logL_marg])."""
+    panel = synthetic_panel(n_indv=40, n_loci=40, n_pops=2, seed=3)
+    spec = ModelSpec(mode=2, n_pops=2, use_pallas=False)
+    sched = Schedule(n_iter=600, burnin=200, thinning=2, n_chains=2,
+                     ckrep=20, nstep_check_empty_cluster=20, dic_every=5)
+    res = run_mcmc(panel.data, spec, sched, jax.random.key(0),
+                   track_freq=True)
+    pd = res.p_d()
+    assert pd is not None and np.isfinite(pd).all()
+    # plug-in at the mean beats the average draw (concavity) => pD > 0
+    assert (pd > 0).all()
+    dic = res.dic()
+    dbar = -2.0 * np.asarray(res.accum.mean.ll_marg).sum(axis=-1)
+    np.testing.assert_allclose(dic, dbar + pd, rtol=1e-5)
+    # and the E-term is a real likelihood, close to the conditional one
+    assert np.all(np.asarray(res.accum.mean.ll_marg).sum(axis=-1) < 0)
+    # WAIC available with positive pwaic
+    waic = res.waic()
+    assert waic is not None and np.isfinite(waic).all()
+    assert (res.p_waic() > 0).all()
+
+
+def test_dic_falls_back_without_plugin():
+    panel = synthetic_panel(n_indv=20, n_loci=20, n_pops=2, seed=4)
+    spec = ModelSpec(mode=2, n_pops=2, use_pallas=False)
+    sched = Schedule(n_iter=200, burnin=100, thinning=2, n_chains=1,
+                     ckrep=10, nstep_check_empty_cluster=10)
+    res = run_mcmc(panel.data, spec, sched, jax.random.key(0),
+                   track_freq=False)
+    assert res.p_d() is None
+    np.testing.assert_allclose(res.dic(), res.dic_reference())
+
+
+@pytest.mark.parametrize("true_k", [2, 3])
+def test_kselect_recovers_true_k(true_k):
+    """Sweep K in 1..4 on a well-separated synthetic panel and require the
+    sweep to pick the generating K (the intent of InStruct.c:536-601 that
+    the reference's degenerate DIC cannot deliver).  Selection ranks on
+    the chain-mean WAIC under the one-standard-error rule — mixture
+    posteriors are singular, so past the true K both WAIC and the
+    corrected DIC plateau within sampling noise (see kselect.py)."""
+    panel = synthetic_panel(n_indv=120, n_loci=80, n_pops=true_k,
+                            n_alleles=4, admixture_alpha=0.03,
+                            selfing_rates=np.zeros(true_k),
+                            seed=10 * true_k)
+    spec = ModelSpec(mode=1, n_pops=2, use_pallas=False)
+    sched = Schedule(n_iter=3000, burnin=1500, thinning=3, n_chains=2,
+                     ckrep=20, nstep_check_empty_cluster=20, dic_every=5)
+    ksel = infer_k(panel.data, spec, sched, jax.random.key(7),
+                   n_small=1, n_large=4)
+    waics = {k: float(v.mean()) for k, v in ksel.waic.items()}
+    assert ksel.best_k == true_k, (
+        f"expected K={true_k}, got {ksel.best_k}; WAIC={waics}; "
+        f"SE={ksel.waic_se}")
+    # every criterion agrees K-1 underfits badly (thousands of units)
+    assert waics[true_k - 1] > waics[true_k] + 1000
+    assert ksel.dic[true_k - 1].min() > ksel.dic[true_k].min() + 1000
+    assert ksel.gelman_rubin[true_k] is not None
