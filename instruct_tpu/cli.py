@@ -217,7 +217,7 @@ def main(argv=None) -> int:
                            progress_every=progress,
                            jsonl_log=args.jsonl_log)
 
-    if jax.process_id() != 0:
+    if jax.process_index() != 0:
         # multi-host: summaries are allgathered on every host; only the
         # coordinator writes the report
         return 0

@@ -71,15 +71,13 @@ def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
     (kernels/fused_step.py).  `use_pallas=None` auto-enables on TPU;
     False forces the XLA path; True forces fused (TPU only).
 
-    Mode-5 DPM stays on the XLA path: its CRP sweep needs the [N, M]
-    F-log-likelihood grid curve (dpm.f_loglik_grid), an extra site pass the
-    fused kernels do not produce.  Mode-3 DPM is fused — its sweep
-    conditions only on the generation latents."""
+    Mode-5 DPM composes with the fused kernels too: its [N, M] grid curve
+    (dpm.f_loglik_grid) is a cheap stack of masked MXU matmuls evaluated
+    before the site pass, and the CRP/stick sweep then fixes F so the
+    fused zq_f_pass runs with an identity F-proposal pair."""
     if spec.use_pallas is False or spec.ploid != 2:
         return False
     if spec.mode not in (1, 2, 3, 4, 5):
-        return False
-    if spec.priors.family == PriorFamily.DPM and spec.mode == 5:
         return False
     if spec.n_pops * data.max_alleles > 64:
         return False
@@ -117,7 +115,7 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     s_tail_fused = (spec.mode == 2 and spec.back_refl == 1 and k <= 8)
     normal = (spec.priors.family == PriorFamily.NORMAL
               and spec.mode in (3, 5))
-    dpm = spec.priors.family == PriorFamily.DPM and spec.mode == 3
+    dpm = spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5)
     if dpm:
         from instruct_tpu.mcmc.dpm import build_dpm_update
         dpm_update = build_dpm_update(spec, data, axis_name)
@@ -218,9 +216,17 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     def _f_tail(state, ks, kz, ka, kq, kacc):
         """Modes 4/5: fused F-MH + Z-Gibbs pass, then Q and alpha
         (mcmc_POP_inbreedcoff / mcmc_INDV_inbreedcoff, mcmc.c:242-293,
-        386-468)."""
+        386-468).  Mode-5 DPM: the CRP/stick sweep (on the fresh P and the
+        carried Z, same order as the XLA path) sets F directly, and the
+        site pass runs with an identity proposal pair — the MH accept is
+        then a no-op and Z/Q/counts come out of the same fused kernel."""
         kprop = jax.random.fold_in(ks, 0)
-        if spec.mode == 4 and spec.back_refl != 1:
+        if dpm:
+            state = dpm_update(ks, state)
+            prop = state.rates
+            prop_states = state.ais_state
+            log_hast = jnp.zeros_like(state.rates)
+        elif spec.mode == 4 and spec.back_refl != 1:
             prop, prop_states, log_hast = \
                 up.propose_adaptive_independence(kprop, state.rates,
                                                  state.ais_state)

@@ -83,6 +83,24 @@ def test_f_loglik_grid_matches_pointwise():
         np.testing.assert_allclose(got[:, mi], want, rtol=1e-4, atol=1e-4)
 
 
+def test_f_loglik_grid_matmul_matches_dense():
+    # The MXU masked-matmul formulation must reproduce the dense [N, L, M]
+    # contraction exactly (up to matmul summation order), including
+    # multiallelic loci and missing sites.
+    panel = synthetic_panel(n_indv=23, n_loci=40, n_pops=3, seed=11,
+                            n_alleles=4, missing_rate=0.1)
+    data = panel.data
+    rng = np.random.default_rng(3)
+    n, l, p = data.geno3.shape
+    a = data.max_alleles
+    freq = jnp.asarray(rng.dirichlet(np.ones(a), size=(3, l)), jnp.float32)
+    z = jnp.asarray(rng.integers(0, 3, (n, l * p)))
+    spec = ModelSpec(mode=5, n_pops=3)
+    got = np.asarray(dpm.f_loglik_grid(spec, data, freq, z, m=32))
+    want = np.asarray(dpm.f_loglik_grid_dense(spec, data, freq, z, m=32))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
 @pytest.mark.parametrize("mode", [3, 5])
 def test_dpm_mode_runs_end_to_end(mode):
     panel = synthetic_panel(n_indv=14, n_loci=10, n_pops=2, seed=mode)
