@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = exact sequential CRP sweep; T>0 = blocked "
                         "truncated-stick-breaking DP with T components "
                         "(parallel over individuals, for large N)")
+    p.add_argument("--marginalize-g", dest="marginalize_g",
+                   action="store_true",
+                   help="Rao-Blackwellize the selfing generations (modes "
+                        "2/3, structure way): exact categorical G draws + "
+                        "S updates on the G-marginal posterior")
     p.add_argument("-e", dest="back_refl", type=int, default=1)
     p.add_argument("-y", dest="type_freq", type=int, default=1)
     p.add_argument("-j", dest="nstep_check", type=int, default=20)
@@ -131,7 +136,8 @@ def main(argv=None) -> int:
         type_freq=args.type_freq, back_refl=args.back_refl,
         priors=Priors(family=family, alpha_dpm=args.alpha_dpm,
                       dp_truncation=args.dp_truncation),
-        autopoly=bool(args.autopoly), s_subsweeps=args.s_subsweeps)
+        autopoly=bool(args.autopoly), s_subsweeps=args.s_subsweeps,
+        marginalize_g=args.marginalize_g)
     sched = Schedule(
         n_iter=args.update, burnin=args.burnin, thinning=args.thinning,
         n_chains=args.chainnum, ckrep=args.ckrep,
@@ -227,10 +233,12 @@ def main(argv=None) -> int:
                  gr_flag=bool(args.gr_flag), echo=echo)
 
     if args.convgfile:
+        # byte-compatible with the reference's trace dump: chain-major flat
+        # values, first "%f " then " %f " each (check_converg.c:75-89)
         convg = np.asarray(res.accum.convg_ld).reshape(-1)
         with open(args.convgfile, "w") as fh:
             fh.write("Values of log-likelihood:\n")
-            fh.write(" ".join(f"{v:f}" for v in convg) + "\n")
+            fh.write("  ".join(f"{v:f}" for v in convg) + " \n")
 
     print("THE JOB IS SUCCESSFULLY FINISHED")
     return 0

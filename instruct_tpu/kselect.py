@@ -27,9 +27,15 @@ Two deliberate departures from the reference, per SURVEY.md §2.1:
   (InStruct.c:563 passes the same `initial`): per-pop rate vectors are
   sliced/cycled to each K's width.
 
-Each K is a separate jit specialisation (freq has shape [K, L, A]); the
-chains within one K run vmapped/sharded as usual, so the sweep costs
-K_num compiles but each runs at full device utilisation.
+The sweep runs as ONE padded (chain x K) grid by default (survey §3.4
+"K values are just more parallel replicas"): every K value's chains are
+folded into the chains axis of a single run at K_max shapes with a
+per-replica active-pop mask (`run_mcmc(active_pops=...)`), so the whole
+grid costs one compile and saturates the device/mesh together.  Per-K
+results are then sliced back out of the replica axis (padding columns
+hold exact zeros, so DIC/WAIC/GR are unchanged).  Tetraploid panels and
+mode 0 fall back to the per-K sequential loop (one jit specialisation
+per K).
 """
 
 from __future__ import annotations
@@ -74,6 +80,29 @@ def _rates_for_k(init_rates, r: int):
     return np.tile(init_rates, (1, reps))[:, :r]
 
 
+def _slice_result(res: RunResult, rows: slice, k: int,
+                  spec: ModelSpec) -> RunResult:
+    """Per-K view of the padded grid run: select this K's chain replicas
+    and truncate the padded pop axes back to k.  Valid because inactive
+    slots carry exact zeros in q (and its moments) and are never
+    referenced by any likelihood term."""
+    def trunc(stats):
+        out = stats._replace(q=stats.q[:, :, :k])
+        if spec.rates_are_per_pop:
+            out = out._replace(rates=out.rates[:, :k])
+        if out.freq.ndim == 4:
+            out = out._replace(freq=out.freq[:, :k])
+        return out
+
+    accum = jax.tree.map(lambda x: x[rows], res.accum)
+    accum = accum._replace(mean=trunc(accum.mean),
+                           mean_sq=trunc(accum.mean_sq))
+    final = jax.tree.map(lambda x: x[rows], res.final_state)
+    plug = None if res.plugin_ll is None else res.plugin_ll[rows]
+    return RunResult(accum=accum, final_state=final,
+                     n_retries=res.n_retries, plugin_ll=plug)
+
+
 def infer_k(
     data: Dataset,
     spec: ModelSpec,
@@ -83,6 +112,7 @@ def infer_k(
     n_large: int = 0,
     mesh=None,
     init_rates=None,
+    grid: bool = True,
     **run_kwargs,
 ) -> KSelectResult:
     if n_large < 1 or n_small < 1 or n_small > n_large:
@@ -97,7 +127,52 @@ def infer_k(
     p_d: Dict[int, Optional[np.ndarray]] = {}
     gr: Dict[int, Optional[float]] = {}
     results: Dict[int, RunResult] = {}
-    for k in range(n_small, n_large + 1):
+    ks_list = list(range(n_small, n_large + 1))
+    use_grid = (grid and spec.ploid == 2 and spec.mode in (1, 2, 3, 4, 5)
+                and len(ks_list) > 1)
+
+    if use_grid:
+        # one padded (chain x K) run: replicas i*C..(i+1)*C run K = ks[i]
+        nc = sched.n_chains
+        k_max = n_large
+        spec_pad = dataclasses.replace(spec, n_pops=k_max)
+        r_max = spec_pad.n_rates(data.n_indv)
+        reps = len(ks_list) * nc
+        active = np.zeros((reps, k_max), np.float32)
+        rates_grid = None
+        if init_rates is not None and r_max > 0:
+            rates_grid = np.zeros((reps, r_max), np.float32)
+        for i, kv in enumerate(ks_list):
+            active[i * nc:(i + 1) * nc, :kv] = 1.0
+            if rates_grid is not None:
+                # the reference reuses the same `-i` starts for every K
+                # (InStruct.c:563); inactive slots keep zeros
+                r_k = (kv if spec.rates_are_per_pop else r_max)
+                rk = _rates_for_k(init_rates, r_k)
+                rates_grid[i * nc:(i + 1) * nc, :r_k] = rk
+        sched_grid = dataclasses.replace(sched, n_chains=reps)
+        res_all = run_mcmc(data, spec_pad, sched_grid, key,
+                           init_rates=rates_grid, active_pops=active,
+                           mesh=mesh, **run_kwargs)
+        for i, kv in enumerate(ks_list):
+            res = _slice_result(res_all, slice(i * nc, (i + 1) * nc), kv,
+                                spec)
+            results[kv] = res
+            dic[kv] = res.dic()
+            dic_ref[kv] = res.dic_reference()
+            waic[kv] = res.waic()
+            waic_se[kv] = res.waic_se()
+            p_d[kv] = res.p_d()
+            if nc > 1:
+                from instruct_tpu.diagnostics import gelman_rubin
+                gr[kv] = float(gelman_rubin(
+                    np.asarray(res.accum.convg_ld)))
+            else:
+                gr[kv] = None
+        return _pick_best(dic, waic, waic_se, results, dic_ref, p_d, gr,
+                          n_small, n_large)
+
+    for k in ks_list:
         spec_k = dataclasses.replace(spec, n_pops=k)
         res = run_mcmc(data, spec_k, sched, jax.random.fold_in(key, k),
                        init_rates=_rates_for_k(init_rates,
@@ -114,6 +189,12 @@ def infer_k(
             gr[k] = float(gelman_rubin(np.asarray(res.accum.convg_ld)))
         else:
             gr[k] = None
+    return _pick_best(dic, waic, waic_se, results, dic_ref, p_d, gr,
+                      n_small, n_large)
+
+
+def _pick_best(dic, waic, waic_se, results, dic_ref, p_d, gr,
+               n_small, n_large) -> KSelectResult:
     # rank on the chain-mean WAIC under the one-standard-error rule when
     # every K produced one (diploid); else min-DIC over chains, as
     # inf_K_val does (InStruct.c:588-592)

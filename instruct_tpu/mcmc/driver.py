@@ -173,11 +173,12 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
     if tetra:
         tetra_parts = build_step_parts(spec, data)
 
-    def init_chain(key: jax.Array, init_rates, rt_data: Dataset):
+    def init_chain(key: jax.Array, init_rates, rt_data: Dataset,
+                   active=None):
         k_init, k_steps = jax.random.split(key)
         state = init_state(k_init, spec,
                            data if tetra else rt_data, init_rates,
-                           axis_name=axis_name)
+                           axis_name=axis_name, active=active)
         accum = init_accum(spec, sched, data if tetra else rt_data,
                            track_freq)
         return state, accum, k_steps
@@ -211,7 +212,7 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
                 due = stored & (nth % sched.dic_every == 0)
                 state = jax.lax.cond(due, add_marg, lambda s: s, state)
             stats = extract_stats(spec, state, track_freq)
-            empty = up.empty_cluster_flag(stats.q)
+            empty = up.empty_cluster_flag(stats.q, state.active)
             accum = accum_update(accum, stats, stored, empty, check_at)
             return (state, accum), None
 
@@ -236,12 +237,20 @@ def run_mcmc(
     progress_fn=None,
     jsonl_log: Optional[str] = None,
     mesh_mode: str = "auto",
+    active_pops: Optional[np.ndarray] = None,
 ) -> RunResult:
     """Run ``sched.n_chains`` chains and return streaming posterior moments.
 
     ``init_rates`` optionally gives per-chain initial S/F vectors
     [n_chains, R] (the role of the `-i` initial file, initial.c:38-126);
     otherwise each chain draws U(0,1) starts.
+
+    ``active_pops`` optionally gives a per-chain active-pop mask
+    [n_chains, K] (1.0 = slot in use): the padded (chain x K) K-selection
+    grid (kselect.py) folds every K value into the chains axis of ONE
+    compiled run, each replica Gibbs-sampling only its leading active
+    slots (q/z put exactly zero mass on padding).  Diploid modes 1-5;
+    not combined with loci sharding.
 
     With ``mesh`` (a ("chain","data") `jax.sharding.Mesh`), chains are
     sharded over the "chain" axis and the loci axis over "data".
@@ -325,13 +334,30 @@ def run_mcmc(
             chain_keys = jax.jit(jax.random.wrap_key_data)(kd)
             init_rates = jax.device_put(init_rates, cs)
 
+    active_dev = None
+    if active_pops is not None:
+        if spec.ploid != 2 or spec.mode == 0:
+            raise ValueError(
+                "active_pops (the padded K-selection grid) supports the "
+                "diploid admixture modes 1-5 only")
+        if n_ds > 1:
+            raise NotImplementedError(
+                "active_pops is not supported together with loci sharding; "
+                "use a chain-parallel mesh for the K grid")
+        active_dev = jnp.asarray(active_pops, jnp.float32).reshape(
+            n_chains, spec.n_pops)
+        if mesh is not None and (n_chains % mesh.devices.shape[0] == 0
+                                 or chain_shardmap):
+            from instruct_tpu.parallel.mesh import chain_sharding
+            active_dev = jax.device_put(active_dev, chain_sharding(mesh))
+
     init_chain, run_segment = _chain_runner(
         spec, sched, data, track_freq,
         axis_name=(DATA_AXIS if data_shardmap else None))
 
-    def per_chain_init(key, rates_row, rt_data):
+    def per_chain_init(key, rates_row, rt_data, active_row=None):
         rates0 = None if none_rates else rates_row[:r]
-        return init_chain(key, rates0, rt_data)
+        return init_chain(key, rates0, rt_data, active_row)
 
     if data_shardmap:
         from instruct_tpu.parallel import loci_shard as ls
@@ -402,8 +428,14 @@ def run_mcmc(
                            idxs, stacked)
 
         vseg = jax.jit(_vseg)
-    else:
+    elif active_dev is None:
         vinit = jax.jit(jax.vmap(per_chain_init, in_axes=(0, 0, None)))
+    else:
+        _vinit_act = jax.jit(jax.vmap(per_chain_init,
+                                      in_axes=(0, 0, None, 0)))
+
+        def vinit(keys, rates_rows, d):
+            return _vinit_act(keys, rates_rows, d, active_dev)
     if chain_shardmap:
         from instruct_tpu.parallel.mesh import get_shard_map
         shard_map = get_shard_map()

@@ -56,6 +56,15 @@ class McmcState(NamedTuple):
     #   label-invariant WAIC (log-mean-exp + variance per individual).
     #   Size 0 for the tetraploid engine (no marginal form; model choice
     #   falls back to the reference-compatible DIC there).
+    active: jnp.ndarray = None  # f32[K] active-pop mask (1.0 for pop slots
+    #   in use, 0.0 for padding) — only set by the padded (chain x K)
+    #   K-selection grid (kselect.py), where every replica shares K_max
+    #   shapes and runs its own effective K.  The invariant is that q (and
+    #   hence z, counts) put EXACTLY zero mass on inactive trailing slots:
+    #   the Q Dirichlet draw masks its gamma variates (renormalizing over
+    #   the active set is exact), and the z inverse-CDF never selects a
+    #   zero-mass trailing category.  None (the default) = all pops active,
+    #   masking code compiled out.
 
 
 def _dt_stat(rates: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +80,7 @@ def init_state(
     data: Dataset,
     init_rates: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    active: Optional[jnp.ndarray] = None,
 ) -> McmcState:
     """Draw the initial state for one chain.
 
@@ -97,8 +107,18 @@ def init_state(
     freq = valid_f / jnp.maximum(valid_f.sum(-1, keepdims=True), 1.0)
     freq = jnp.broadcast_to(freq[None], (k, l, a)).astype(jnp.float32)
 
+    # uniform initial assignments over the ACTIVE pop slots; active pops
+    # occupy the leading slots (kselect padded grid invariant), so the
+    # masked draw is floor(u * n_active) — no K-trailing tensor.
+    def _unif_pops(kk, shape, dtype):
+        if active is None:
+            return jax.random.randint(kk, shape, 0, k, dtype=dtype)
+        n_act = jnp.maximum(active.sum(), 1.0)
+        u = jax.random.uniform(kk, shape)
+        return jnp.floor(u * n_act).astype(dtype)
+
     if spec.mode == 0 and spec.ploid == 2:
-        zz = jax.random.randint(kz, (n,), 0, k)
+        zz = _unif_pops(kz, (n,), jnp.int32)
         z = jnp.zeros((0, 0), jnp.int8)
         q = jnp.zeros((0, 0), jnp.float32)
         alpha = jnp.zeros((), jnp.float32)
@@ -107,11 +127,11 @@ def init_state(
         zz = jnp.zeros((0,), jnp.int32)
         # z draws are site-local (shard-folded key under loci sharding);
         # q/alpha are replicated (global psummed counts, unfolded keys)
-        z = jax.random.randint(up.shard_key(kz, axis_name), (n, l * p), 0, k,
-                               dtype=jnp.int8)
+        z = _unif_pops(up.shard_key(kz, axis_name), (n, l * p), jnp.int8)
         counts = up._psum(masked_z_counts(z, data, k), axis_name)
         alpha = jax.random.uniform(kal) * spec.alpha_prior_max
-        q = _dirichlet(kq, counts + alpha)
+        q = _dirichlet(kq, counts + alpha,
+                       None if active is None else active > 0)
 
     use_dpm = (spec.priors.family.value == "dpm" and spec.mode in (3, 5))
     if use_dpm:
@@ -167,11 +187,17 @@ def init_state(
         prior_sigma2=jnp.asarray(spec.priors.normal_sigmasqr0, jnp.float32),
         zcounts=zcounts,
         loglik_marg=jnp.zeros((n,), jnp.float32),
+        active=active,
     )
 
 
-def _dirichlet(key, conc):
-    g = jax.random.gamma(key, jnp.maximum(conc, 1e-6))
+def _dirichlet(key, conc, valid=None):
+    safe = jnp.maximum(conc, 1e-6)
+    if valid is not None:
+        safe = jnp.where(valid, safe, 1.0)
+    g = jax.random.gamma(key, safe)
+    if valid is not None:
+        g = jnp.where(valid, g, 0.0)
     return g / jnp.maximum(g.sum(-1, keepdims=True), 1e-30)
 
 

@@ -66,6 +66,39 @@ def _s_subsweeps_ind(spec: ModelSpec, state: McmcState, ks,
     return state
 
 
+def _marg_s_and_gen(spec: ModelSpec, state: McmcState, gtable, ks, kg,
+                    dpm_update, normal: bool) -> McmcState:
+    """Shared ``marginalize_g`` tail for modes 2/3 (both step paths): the
+    Rao-Blackwellized S update on the G-marginal target, then the exact
+    categorical G draw — all O(N * gen_cap) given the curve."""
+    from instruct_tpu.mcmc import marg_g as mg
+    if spec.mode == 2:
+        for j in range(max(1, spec.s_subsweeps)):
+            rates, ais = mg.update_s_pop_marginal(
+                jax.random.fold_in(ks, j), spec, state.q, gtable,
+                state.rates, state.ais_state)
+            state = state._replace(rates=rates, ais_state=ais)
+        sbar = state.q @ state.rates
+    elif dpm_update is not None:
+        state = dpm_update(ks, state)
+        sbar = state.rates
+    else:
+        pm = state.prior_mu if normal else None
+        ps2 = state.prior_sigma2 if normal else None
+        for j in range(max(1, spec.s_subsweeps)):
+            rates = mg.update_s_ind_marginal(
+                jax.random.fold_in(ks, j), spec, gtable, state.rates,
+                pm, ps2)
+            state = state._replace(rates=rates)
+        if normal:
+            mu, s2 = up.update_normal_hyper(
+                jax.random.fold_in(ks, 777), state.rates, spec.priors)
+            state = state._replace(prior_mu=mu, prior_sigma2=s2)
+        sbar = state.rates
+    gen = mg.sample_gen_marginal(kg, gtable, sbar, spec.gen_cap)
+    return state._replace(gen=gen)
+
+
 def _use_fused(spec: ModelSpec, data: Dataset) -> bool:
     """Fused Pallas step path: modes 1-5, diploid, on TPU
     (kernels/fused_step.py).  `use_pallas=None` auto-enables on TPU;
@@ -112,27 +145,38 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     # mode-2 S tail as one Pallas pass (kernels/s_pop_pallas.py): needs the
     # back-reflection proposal (the adaptive-independence state machine
     # stays on the XLA path) and q rows that fit one VMEM sublane tile
-    s_tail_fused = (spec.mode == 2 and spec.back_refl == 1 and k <= 8)
+    marg = spec.marginalize_g and spec.mode in (2, 3)
+    s_tail_fused = (spec.mode == 2 and spec.back_refl == 1 and k <= 8
+                    and not marg)
     normal = (spec.priors.family == PriorFamily.NORMAL
               and spec.mode in (3, 5))
     dpm = spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5)
     if dpm:
         from instruct_tpu.mcmc.dpm import build_dpm_update
         dpm_update = build_dpm_update(spec, data, axis_name)
+    if marg:
+        from instruct_tpu.mcmc import marg_g as mg
 
     from instruct_tpu.kernels.dirichlet_pallas import (dirichlet_kla,
                                                        dirichlet_rows)
 
-    def draw_q(kq, qqnum, alpha):
+    def draw_q(kq, qqnum, alpha, active=None):
         """Q | Z ~ Dirichlet(counts + alpha) via the on-core-PRNG kernel
         (the [N, K] jax.random.gamma costs ~0.1 ms/step in per-lane key
         derivation; the kernel runs it as one VPU pass).  qqnum must be
         the GLOBAL (psummed) counts; the unfolded key keeps the draw
-        replicated across loci shards."""
+        replicated across loci shards.  With ``active`` (padded K grid)
+        the inactive gamma variates are zeroed and the row renormalized —
+        exactly a Dirichlet over the active slots, since the padded
+        components cancel from the normalization."""
         conc = (qqnum + alpha).T                             # [K, N]
         out = dirichlet_rows(fs.seed_words(kq), conc,
                              rows_per_group=conc.shape[0])
-        return out.T
+        q = out.T
+        if active is not None:
+            q = q * active[None, :]
+            q = q / jnp.maximum(q.sum(-1, keepdims=True), 1e-30)
+        return q
 
     def step(state: McmcState, key: jax.Array) -> McmcState:
         kp, ks, kg, kz, ka, kq, kacc = jax.random.split(key, 7)
@@ -149,6 +193,9 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
 
         if spec.mode in (4, 5):
             return _f_tail(state, ks, kz, ka, kq, kacc)
+
+        if marg:
+            return _marg_tail(state, ks, kg, kz, ka, kq)
 
         if spec.mode == 2:
             if not s_tail_fused:
@@ -167,8 +214,10 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             z, qqnum, zcounts = fs.zq_sample_pass(
                 seed, state.q, freq, data.geno, data.site_valid,
                 bits2=data.bits2)
-            q_new = draw_q(kq, up._psum(qqnum, axis_name), state.alpha)
-            alpha = up.update_alpha(ka, spec, q_new, state.alpha)
+            q_new = draw_q(kq, up._psum(qqnum, axis_name), state.alpha,
+                           state.active)
+            alpha = up.update_alpha(ka, spec, q_new, state.alpha,
+                                    state.active)
             return state._replace(z=z, q=q_new, alpha=alpha,
                                   zcounts=_recount(z, zcounts))
 
@@ -199,8 +248,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
         ll_diff = up._psum(ll_diff, axis_name)
         gen = jnp.where(logu < ll_diff, gen_prop, state.gen)
 
-        q_new = draw_q(kq, qqnum, state.alpha)
-        alpha = up.update_alpha(ka, spec, q_new, state.alpha)
+        q_new = draw_q(kq, qqnum, state.alpha, state.active)
+        alpha = up.update_alpha(ka, spec, q_new, state.alpha, state.active)
         return state._replace(z=z, q=q_new, alpha=alpha, gen=gen,
                               zcounts=_recount(z, zcounts))
 
@@ -212,6 +261,25 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             return zcounts
         return fs.allele_counts(z, data.geno, data.site_valid,
                                 n_pops=k, max_alleles=a)
+
+    def _marg_tail(state, ks, kg, kz, ka, kq):
+        """Modes 2/3 with ``marginalize_g``: the per-individual curve over
+        g (mcmc/marg_g.py, masked MXU matmuls) feeds a Rao-Blackwellized S
+        update and an exact categorical G draw; the Z pass then needs no
+        G inputs, so it runs the same fused sampling-only kernel as
+        mode 1."""
+        gtable = mg.selfing_gtable(data, state.freq, state.z, spec.gen_cap,
+                                   axis_name)
+        state = _marg_s_and_gen(spec, state, gtable, ks, kg,
+                                dpm_update if dpm else None, normal)
+        z, qqnum, zcounts = fs.zq_sample_pass(
+            fs.seed_words(kz), state.q, state.freq, data.geno,
+            data.site_valid, bits2=data.bits2)
+        q_new = draw_q(kq, up._psum(qqnum, axis_name), state.alpha,
+                       state.active)
+        alpha = up.update_alpha(ka, spec, q_new, state.alpha, state.active)
+        return state._replace(z=z, q=q_new, alpha=alpha,
+                              zcounts=_recount(z, zcounts))
 
     def _f_tail(state, ks, kz, ka, kq, kacc):
         """Modes 4/5: fused F-MH + Z-Gibbs pass, then Q and alpha
@@ -261,8 +329,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             mu, s2 = up.update_normal_hyper(
                 jax.random.fold_in(ks, 1), rates, spec.priors)
             state = state._replace(prior_mu=mu, prior_sigma2=s2)
-        q_new = draw_q(kq, qqnum, state.alpha)
-        alpha = up.update_alpha(ka, spec, q_new, state.alpha)
+        q_new = draw_q(kq, qqnum, state.alpha, state.active)
+        alpha = up.update_alpha(ka, spec, q_new, state.alpha, state.active)
         return state._replace(z=z, q=q_new, alpha=alpha,
                               zcounts=_recount(z, zcounts))
 
@@ -314,6 +382,10 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     On TPU the diploid modes (1-5, non-DPM) compile to the
     fused Pallas path (see :func:`_build_fused_parts`).
     """
+    if spec.marginalize_g and (spec.mode not in (2, 3) or spec.ploid != 2):
+        raise ValueError(
+            "marginalize_g applies to the diploid selfing modes 2/3 "
+            "(the only modes with generation latents)")
     if spec.ploid == 4:
         if axis_name is not None:
             raise NotImplementedError(
@@ -323,15 +395,25 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
         return build_tetra_step(spec, data)
     if spec.mode not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"unknown mode {spec.mode}")
+    if spec.marginalize_g:
+        if spec.type_freq != 1:
+            raise ValueError(
+                "marginalize_g requires the structure-way genotype "
+                "formulation (type_freq=1): the expectation way's "
+                "Q-mixture probability does not factorize through the "
+                "(pop, allele) one-hot the curve tables need")
     if _use_fused(spec, data):
         return _build_fused_parts(spec, data, axis_name)
 
     dpm = (spec.priors.family == PriorFamily.DPM and spec.mode in (3, 5))
     normal = (spec.priors.family == PriorFamily.NORMAL
               and spec.mode in (3, 5))
+    marg = spec.marginalize_g and spec.mode in (2, 3) and spec.ploid == 2
     if dpm:
         from instruct_tpu.mcmc.dpm import build_dpm_update
         dpm_update = build_dpm_update(spec, data, axis_name)
+    if marg:
+        from instruct_tpu.mcmc import marg_g as mg
 
     def step(state: McmcState, key: jax.Array) -> McmcState:
         kp, ks, kg, kz, ka = jax.random.split(key, 5)
@@ -341,10 +423,16 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
         state = state._replace(freq=freq)
 
         if spec.mode == 0:
-            zz = up.update_z_noadmix(kz, data, freq, axis_name=axis_name)
+            zz = up.update_z_noadmix(kz, data, freq, axis_name=axis_name,
+                                     active=state.active)
             return state._replace(zz=zz)
 
-        if spec.mode == 2:
+        if marg:
+            gtable = mg.selfing_gtable(data, freq, state.z, spec.gen_cap,
+                                       axis_name)
+            state = _marg_s_and_gen(spec, state, gtable, ks, kg,
+                                    dpm_update if dpm else None, normal)
+        elif spec.mode == 2:
             state = _s_subsweeps_pop(spec, state, ks)
         elif spec.mode == 3:
             if dpm:
@@ -371,16 +459,16 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
                         jax.random.fold_in(ks, 1), rates, spec.priors)
                     state = state._replace(prior_mu=mu, prior_sigma2=s2)
 
-        if spec.has_selfing:
+        if spec.has_selfing and not marg:
             gen = up.update_gen(kg, spec, data, freq, state.z, state.q,
                                 state.rates, state.gen, axis_name=axis_name)
             state = state._replace(gen=gen)
 
         z, q, _ = up.update_zq(kz, spec, data, freq, state.q, state.alpha,
-                               axis_name=axis_name)
+                               axis_name=axis_name, active=state.active)
         state = state._replace(z=z, q=q)
 
-        alpha = up.update_alpha(ka, spec, q, state.alpha)
+        alpha = up.update_alpha(ka, spec, q, state.alpha, state.active)
         return state._replace(alpha=alpha)
 
     return step, (lambda s: _cal_lkh(spec, data, s, axis_name))

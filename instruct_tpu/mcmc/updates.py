@@ -128,7 +128,7 @@ def update_freq(key, spec: ModelSpec, data: Dataset, z, zz,
 # ---------------------------------------------------------------------------
 
 def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
-              init: bool = False, axis_name=None
+              init: bool = False, axis_name=None, active=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gibbs z per allele copy then Q | Z ~ Dirichlet(counts + alpha)
     (update_ZQ, mcmc.c:1122-1199).
@@ -161,7 +161,9 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
         z, qqnum = zq_sample_counts(seed_words(kz), q, freq, data.geno,
                                     data.site_valid, n_pops=k)
         qqnum = _psum(qqnum, axis_name)
-        q_new = dirichlet_from_counts(kq, qqnum + alpha)
+        q_new = dirichlet_from_counts(
+            kq, qqnum + alpha,
+            None if active is None else (active > 0)[None, :])
         return z.astype(jnp.int8), q_new, qqnum
     else:
         terms = [q[:, kk][:, None] * pk
@@ -176,15 +178,20 @@ def update_zq(key, spec: ModelSpec, data: Dataset, freq, q, alpha,
             cum = cum + terms[kk]
             z = z + (u > cum).astype(jnp.int8)
     qqnum = _psum(masked_z_counts(z, data, k), axis_name)
-    q_new = dirichlet_from_counts(kq, qqnum + alpha)
+    q_new = dirichlet_from_counts(
+        kq, qqnum + alpha,
+        None if active is None else (active > 0)[None, :])
     return z, q_new, qqnum
 
 
-def update_z_noadmix(key, data: Dataset, freq, axis_name=None) -> jnp.ndarray:
+def update_z_noadmix(key, data: Dataset, freq, axis_name=None,
+                     active=None) -> jnp.ndarray:
     """Mode 0: one z per individual, Gibbs over K with full-genome log-liks
     (update_Z, mcmc.c:1094-1119 via log_ld_indv_K).  The [N, K] log-lik
     matrix sums over loci -> psummed; the draw is replicated."""
     ll = _psum(lk.loglik_matrix_nopop_admix(data, freq), axis_name)  # [N, K]
+    if active is not None:
+        ll = jnp.where((active > 0)[None, :], ll, -jnp.inf)
     return jax.random.categorical(key, ll, axis=-1)
 
 
@@ -192,7 +199,7 @@ def update_z_noadmix(key, data: Dataset, freq, axis_name=None) -> jnp.ndarray:
 # alpha — concentration of the Q prior
 # ---------------------------------------------------------------------------
 
-def update_alpha(key, spec: ModelSpec, q, alpha) -> jnp.ndarray:
+def update_alpha(key, spec: ModelSpec, q, alpha, active=None) -> jnp.ndarray:
     """MH on alpha with a Normal(alpha, 1) proposal (update_alpha,
     mcmc.c:1244-1263).
 
@@ -202,12 +209,19 @@ def update_alpha(key, spec: ModelSpec, q, alpha) -> jnp.ndarray:
         + (a' - a) sum_{i,m} log q_im,
     where the reference's ratio (mcmc.c:1258) keeps only the pow() products.
     Proposals <= 0 are rejected outright, as in the reference.
+    With ``active`` (padded K-selection grid) the density is over the
+    active slots only: k becomes the runtime active count and the log-q
+    sum is masked (inactive columns hold exact zeros).
     """
     ku, ka = jax.random.split(key)
-    k = spec.n_pops
     prop = alpha + spec.alpha_sd * jax.random.normal(ka)
     n = q.shape[0]
-    sum_log_q = _slog(q).sum()
+    if active is None:
+        k = spec.n_pops
+        sum_log_q = _slog(q).sum()
+    else:
+        k = jnp.maximum(active.sum(), 1.0)
+        sum_log_q = (_slog(q) * active[None, :]).sum()
 
     def norm_term(a):
         return n * (jax.lax.lgamma(k * a) - k * jax.lax.lgamma(a))
@@ -490,9 +504,13 @@ def update_f_ind(key, spec: ModelSpec, data: Dataset, freq, z, rates,
 # Diagnostic helpers shared with the driver
 # ---------------------------------------------------------------------------
 
-def empty_cluster_flag(q) -> jnp.ndarray:
+def empty_cluster_flag(q, active=None) -> jnp.ndarray:
     """True when any cluster's total occupancy sum_i q_ik < 0.01
-    (check_empty_cluster, mcmc.c:1944-1974)."""
+    (check_empty_cluster, mcmc.c:1944-1974).  Inactive padded slots
+    (kselect grid) always have zero occupancy and are exempt."""
     if q.size == 0:
         return jnp.asarray(False)
-    return jnp.any(q.sum(axis=0) < 0.01)
+    low = q.sum(axis=0) < 0.01
+    if active is not None:
+        low = low & (active > 0)
+    return jnp.any(low)

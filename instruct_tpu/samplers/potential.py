@@ -43,17 +43,32 @@ class MarginalParams(NamedTuple):
 
 
 class MarginalModel:
-    """log_joint / constrain / init for the marginalized admixture(-selfing)
-    model (modes 1 and 2)."""
+    """log_joint / constrain / init for the marginalized admixture model
+    family, modes 1-5 (diploid):
+
+      mode 1: (P, Q, alpha)
+      mode 2: + S per pop        — G summed out over 1..gen_cap
+      mode 3: + S per individual — same G marginalization, sbar_i = s_i
+      mode 4: + F per pop        — Z marginalized exactly via the rank-1
+      mode 5: + F per individual   2-copy mixture (marginal_site_loglik)
+
+    Mode 0 (one discrete assignment per individual, no Q/alpha) stays on
+    the Gibbs engine; the DPM prior is likewise Gibbs-only (its cluster
+    table is discrete).  Modes 3/5 use the flat U(0,1) base prior on the
+    per-individual rates — the hierarchical-normal/DPM priors remain
+    Gibbs-engine features."""
 
     def __init__(self, spec: ModelSpec, data: Dataset):
-        if spec.mode not in (1, 2):
+        if spec.mode not in (1, 2, 3, 4, 5):
             raise ValueError(
-                "marginalized potential supports modes 1 (admixture) and 2 "
-                "(admixture + pop selfing)")
+                "marginalized potential supports the admixture modes 1-5 "
+                "(mode 0's one-hot assignment model is Gibbs-only)")
+        if spec.ploid != 2:
+            raise ValueError("marginalized potential is diploid-only")
         self.spec = spec
         self.data = data
         self.gen_cap = spec.gen_cap
+        self.n_rates = spec.n_rates(data.n_indv)
 
     def init(self, key) -> MarginalParams:
         k = self.spec.n_pops
@@ -64,7 +79,7 @@ class MarginalModel:
         return MarginalParams(
             phi_p=0.1 * jax.random.normal(k1, (k, l, a)),
             phi_q=0.1 * jax.random.normal(k2, (n, k)),
-            phi_s=0.1 * jax.random.normal(k3, (k,)),
+            phi_s=0.1 * jax.random.normal(k3, (self.n_rates,)),
             phi_a=jnp.zeros(()),
         )
 
@@ -93,9 +108,14 @@ class MarginalModel:
             site = jnp.log(jnp.maximum(
                 jnp.where(hom, m0 * m1, 2.0 * m0 * m1), _EPS))
             ll = jnp.where(valid, site, 0.0).sum()
+        elif spec.mode in (4, 5):
+            # F modes: Z marginalized exactly via the rank-1 2-copy
+            # mixture collapse (likelihood.marginal_site_loglik — the same
+            # deviance focus the corrected DIC evaluates)
+            ll = lk.marginal_indv_loglik(spec, data, p, q, None, s).sum()
         else:
-            # G-marginalized: ll_i = logsumexp_g [ log Geom(g|1-sbar_i)
-            #   + sum_l log genofreq(m0, m1, hom, g) ]
+            # modes 2/3, G-marginalized: ll_i = logsumexp_g
+            #   [ log Geom(g|1-sbar_i) + sum_l log genofreq(m0, m1, hom, g) ]
             gens = jnp.arange(1, self.gen_cap + 1, dtype=jnp.float32)
             w = jnp.exp2(1.0 - gens)                          # [G]
             hom_f = hom[..., None]
@@ -106,7 +126,10 @@ class MarginalModel:
                 2.0 * m0[..., None] * m1[..., None] * w)      # [N, L, G]
             site = jnp.log(jnp.maximum(gf, _EPS))
             per_gen = jnp.where(valid[..., None], site, 0.0).sum(1)  # [N, G]
-            sbar = jnp.clip(q @ s, 1e-6, 1.0 - 1e-6)          # [N]
+            # mode 2: sbar_i = sum_k q_ik s_k (mcmc.c:1063-1066);
+            # mode 3: sbar_i = s_i (mcmc.c:1069)
+            sbar = q @ s if spec.mode == 2 else s
+            sbar = jnp.clip(sbar, 1e-6, 1.0 - 1e-6)           # [N]
             # truncated geometric prior on 1..cap, renormalized
             log_prior = ((gens - 1.0)[None, :] * jnp.log(sbar)[:, None]
                          + jnp.log1p(-sbar)[:, None])

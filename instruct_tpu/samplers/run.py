@@ -29,6 +29,29 @@ class SamplerResult:
     extra: dict
 
 
+def _svi_warm_start(model: MarginalModel, key, n_chains: int):
+    """Per-chain initial positions for the gradient samplers: one short
+    SVI fit to locate the dominant posterior basin, then small per-chain
+    jitter.  Mixture posteriors are multimodal (label permutations +
+    genuine local modes — e.g. the mode-4 F posterior traps cold-started
+    trajectories at a spurious interior mode); a few hundred variational
+    steps reliably land in the main basin and NUTS/HMC then agree with
+    the Gibbs engine (tests/test_nuts.py)."""
+    init = model.init(key)
+    mu, _, _ = run_svi(model.log_joint, init, jax.random.fold_in(key, 97),
+                       SviConfig(n_steps=400, learning_rate=0.05))
+
+    def jitter(k):
+        leaves, treedef = jax.tree.flatten(mu)
+        ks = jax.random.split(k, len(leaves))
+        return jax.tree.unflatten(
+            treedef, [m + 0.02 * jax.random.normal(kk, m.shape)
+                      for kk, m in zip(ks, leaves)])
+
+    return jax.vmap(jitter)(jax.random.split(
+        jax.random.fold_in(key, 98), n_chains))
+
+
 def run_sampler(
     method: str,
     data: Dataset,
@@ -43,15 +66,15 @@ def run_sampler(
         cfg = HmcConfig(n_warmup=min(500, max(50, sched.burnin)),
                         n_samples=min(1000, max(100, sched.n_stored)),
                         n_leapfrog=16, init_step=0.02)
+        inits = _svi_warm_start(model, key, n_chains)
 
-        def one_chain(k):
-            init = model.init(k)
+        def one_chain(k, init):
             return run_hmc(model.potential, init, jax.random.fold_in(k, 1),
                            cfg, collect=lambda p: (model.selfing_rates(p),
                                                    model.admixture(p)))
 
         keys = jax.random.split(key, n_chains)
-        (s_draws, q_draws), accept, _ = jax.vmap(one_chain)(keys)
+        (s_draws, q_draws), accept, _ = jax.vmap(one_chain)(keys, inits)
         s = np.asarray(s_draws).reshape(-1, s_draws.shape[-1])
         q = np.asarray(q_draws).reshape(-1, *q_draws.shape[2:])
         return SamplerResult("hmc", s.mean(0), s.var(0), q.mean(0),
@@ -63,16 +86,16 @@ def run_sampler(
         cfg = NutsConfig(n_warmup=min(500, max(50, sched.burnin)),
                          n_samples=min(1000, max(100, sched.n_stored)),
                          max_depth=8, init_step=0.02)
+        inits = _svi_warm_start(model, key, n_chains)
 
-        def one_chain(k):
-            init = model.init(k)
+        def one_chain(k, init):
             return run_nuts(model.potential, init,
                             jax.random.fold_in(k, 1), cfg,
                             collect=lambda p: (model.selfing_rates(p),
                                                model.admixture(p)))
 
         keys = jax.random.split(key, n_chains)
-        (s_draws, q_draws), accept, _ = jax.vmap(one_chain)(keys)
+        (s_draws, q_draws), accept, _ = jax.vmap(one_chain)(keys, inits)
         s = np.asarray(s_draws).reshape(-1, s_draws.shape[-1])
         q = np.asarray(q_draws).reshape(-1, *q_draws.shape[2:])
         return SamplerResult("nuts", s.mean(0), s.var(0), q.mean(0),

@@ -71,9 +71,11 @@ def panel():
                            admixture_alpha=0.05, seed=77)
 
 
-def test_marginal_model_gradients_finite(panel):
-    model = MarginalModel(ModelSpec(mode=2, n_pops=2), panel.data)
+@pytest.mark.parametrize("mode", [1, 2, 3, 4, 5])
+def test_marginal_model_gradients_finite(panel, mode):
+    model = MarginalModel(ModelSpec(mode=mode, n_pops=2), panel.data)
     params = model.init(jax.random.key(0))
+    assert params.phi_s.shape == ({1: 0, 2: 2, 3: 40, 4: 2, 5: 40}[mode],)
     val, grads = jax.value_and_grad(model.log_joint)(params)
     assert np.isfinite(float(val))
     for g in jax.tree.leaves(grads):
