@@ -29,42 +29,50 @@ def gelman_rubin(traces) -> jnp.ndarray:
     return v / w
 
 
+def effective_sample_size_batch(traces) -> jnp.ndarray:
+    """Batched on-device Geyer ESS: traces [..., n] -> ESS [...].
+
+    One rfft/irfft over the whole batch computes every autocovariance at
+    once; the initial-positive-sequence truncation (stop at the first
+    non-positive pair sum rho[2t-1] + rho[2t]) becomes a running
+    cumulative-positivity mask instead of a per-parameter Python loop —
+    the "diagnostics via on-device vectorized passes" half of the survey's
+    L4 mapping (the moments were already streamed on-device)."""
+    x = jnp.asarray(traces, jnp.float64 if jnp.array(0.0).dtype
+                    == jnp.float64 else jnp.float32)
+    n = x.shape[-1]
+    if n < 4:
+        return jnp.full(x.shape[:-1], float(n))
+    x = x - x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1)
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = jnp.fft.rfft(x, nfft, axis=-1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), nfft, axis=-1)[..., :n] / n
+    rho = acov / jnp.maximum(acov[..., :1], 1e-30)
+    # pair sums P_j = rho[2j+1] + rho[2j+2], j = 0 .. (n-4)//2
+    n_pairs = max((n - 2) // 2, 1)
+    idx = 1 + 2 * jnp.arange(n_pairs)
+    pairs = jnp.take(rho, idx, axis=-1) + jnp.take(rho, idx + 1, axis=-1)
+    keep = jnp.cumprod(pairs > 0, axis=-1)
+    s = (pairs * keep).sum(axis=-1)
+    ess = n / (1.0 + 2.0 * s)
+    ess = jnp.minimum(ess, float(n))
+    return jnp.where(var == 0, float(n), ess)
+
+
 def effective_sample_size(trace: np.ndarray, max_lag: int | None = None
                           ) -> float:
     """ESS of a single scalar chain via the initial positive sequence
     (Geyer 1992): ESS = n / (1 + 2 sum rho_t) truncated at the first
-    non-positive pair sum."""
-    x = np.asarray(trace, dtype=np.float64)
-    n = x.size
-    if n < 4:
-        return float(n)
-    x = x - x.mean()
-    var = x.var()
-    if var == 0:
-        return float(n)
-    if max_lag is None:
-        max_lag = n - 2
-    # FFT autocovariance
-    nfft = 1 << (2 * n - 1).bit_length()
-    f = np.fft.rfft(x, nfft)
-    acov = np.fft.irfft(f * np.conj(f), nfft)[: n] / n
-    rho = acov / acov[0]
-    # Geyer initial positive sequence over pairs (rho[2t-1] + rho[2t])
-    s = 0.0
-    t = 1
-    while t + 1 <= max_lag:
-        pair = rho[t] + rho[t + 1]
-        if pair <= 0:
-            break
-        s += pair
-        t += 2
-    ess = n / (1.0 + 2.0 * s)
-    return float(min(ess, n))
+    non-positive pair sum.  Thin wrapper over the batched estimator."""
+    x = np.asarray(trace)
+    if x.size < 4:
+        return float(x.size)
+    return float(effective_sample_size_batch(x[None])[0])
 
 
 def ess_per_param(traces: np.ndarray) -> np.ndarray:
-    """ESS for each column of [n_samples, n_params] draws, summed over
-    chains by the caller."""
+    """ESS for each column of [n_samples, n_params] draws (one batched
+    on-device pass), summed over chains by the caller."""
     traces = np.atleast_2d(traces)
-    return np.array([effective_sample_size(traces[:, j])
-                     for j in range(traces.shape[1])])
+    return np.asarray(effective_sample_size_batch(traces.T))

@@ -67,6 +67,18 @@ class TetraTables(NamedTuple):
     n_max: int
     g_max: int
     class_loci: tuple         # ((class_idx, np loci indices, G), ...) static
+    # Static per-candidate site planes (data-only, precomputed once at
+    # build: the genotype move's candidate orderings route the OBSERVED
+    # distinct-allele sets through the pattern bank, so their slot
+    # arrangement, class index and ordering multiplicity never change
+    # during sampling).  Precomputing them shrank the unrolled step graph
+    # ~2.5x — the per-candidate 256-way lookup select chains made the
+    # allotetraploid step take tens of minutes to COMPILE.
+    # Memory: ~4 bytes * n_candidates * N * L (~120 MB at 500x5k, C=12).
+    cand_sel: jnp.ndarray = None   # u8[C, N, L] packed 2-bit distinct-slot
+    #   indices, slot m at bits [2m, 2m+2)
+    cand_cls: jnp.ndarray = None   # i16[C, N, L] genotype-class index
+    cand_mult: jnp.ndarray = None  # u8[C, N, L] ordering multiplicity
 
 
 def build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
@@ -84,12 +96,15 @@ def build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
         (ci, np.nonzero(cls == ci)[0], int(ct.g_count[ci]))
         for ci in range(len(ct.allele_counts))
         if (cls == ci).any())
-    return TetraTables(
+    tab = TetraTables(
         cls=jnp.asarray(cls),
         gvalid=jnp.asarray(ct.valid), log_mult=jnp.asarray(ct.log_mult),
         lookup=jnp.asarray(ct.lookup), self_mat=jnp.asarray(ct.self_mat),
         digits_np=ct.digits, patterns_np=patterns, n_patterns_np=n_patterns,
         n_max=ct.n_max, g_max=ct.g_max, class_loci=class_loci)
+    cand_sel, cand_cls, cand_mult = _candidate_planes(tab, data)
+    return tab._replace(cand_sel=cand_sel, cand_cls=cand_cls,
+                        cand_mult=cand_mult)
 
 
 def _split4(flat):
@@ -104,8 +119,12 @@ def _split4(flat):
 # fall back to a gather (TPU gathers measured ~5-8 ms per 1e6 arbitrary
 # indices on v5e, vs ~4 us per fused select pass; even a 256-way select
 # chain — one memory pass, 256 VPU compares — beats one gather by ~5x;
-# cf. likelihood._SELECT_MAX_CELLS).
-_SELECT_MAX_CELLS = 256
+# cf. likelihood._SELECT_MAX_CELLS).  512 covers the allotetraploid
+# K*G_allo = 3 * 100 = 300 cells of _table_at at A=4: the allo genotype
+# move runs 12 such lookups per step, and the gather fallback made it
+# 40x slower than auto (measured 3.9 s vs 0.1 s per 4-chain step; the
+# select chain brings the full allo step to ~70 ms).
+_SELECT_MAX_CELLS = 512
 
 
 def _select_or_gather(table_lv, idx):
@@ -377,13 +396,12 @@ def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
     return z.astype(jnp.int8), q_new
 
 
-def _candidate_slots(tables: TetraTables, data: Dataset, c: int):
-    """For candidate index c: the 4 slot-allele arrays [N, L] obtained by
-    routing the observed distinct alleles through the pattern bank
+def _candidate_sel(tables: TetraTables, data: Dataset, c: int):
+    """For candidate index c: the 4 slot SELECTOR arrays [N, L] (indices
+    0..3 into the site's distinct-allele set) from the pattern bank
     (the two/tri/tetra_allele_* tables, poly_geno.c:2440-2638)."""
     cnt = jnp.clip(data.n_distinct, 1, 4)                    # [N, L]
-    dist = _split4(data.distinct)                            # 4 x [N, L]
-    slots = []
+    sels = []
     for m in range(4):
         pat_cm = tables.patterns_np[:, c, m]                 # host [5]
         # scalar selects over the 4 cnt values (a [N, L] gather into the
@@ -391,11 +409,52 @@ def _candidate_slots(tables: TetraTables, data: Dataset, c: int):
         sel = jnp.full_like(cnt, int(pat_cm[1]))
         for v in (2, 3, 4):
             sel = jnp.where(cnt == v, int(pat_cm[v]), sel)
+        sels.append(sel)
+    return sels
+
+
+def _sel_values(data: Dataset, sels):
+    """Map slot selectors to allele values through the distinct planes."""
+    dist = _split4(data.distinct)                            # 4 x [N, L]
+    slots = []
+    for sel in sels:
         val = jnp.zeros_like(sel)
         for j in range(4):
             val = jnp.where(sel == j, dist[j], val)
         slots.append(val)
     return slots
+
+
+def _candidate_slots(tables: TetraTables, data: Dataset, c: int):
+    """Slot-allele arrays of candidate c (selector routing + value map)."""
+    return _sel_values(data, _candidate_sel(tables, data, c))
+
+
+def _candidate_planes(tables: TetraTables, data: Dataset):
+    """Precompute the static per-candidate site planes (cand_sel /
+    cand_cls / cand_mult — see TetraTables): one jitted pass at build
+    time replaces ~300 fused select ops PER CANDIDATE PER STEP."""
+    n_cand = int(tables.n_patterns_np.max())
+    nm = tables.n_max
+
+    @jax.jit
+    def build():
+        sel_pl, cls_pl, mult_pl = [], [], []
+        for c in range(n_cand):
+            sels = _candidate_sel(tables, data, c)
+            slots = _sel_values(data, sels)
+            packed = (((slots[0] * nm + slots[1]) * nm + slots[2]) * nm
+                      + slots[3])
+            cls_idx = _select_or_gather(tables.lookup[tables.cls], packed)
+            lmult = _select_or_gather(tables.log_mult[tables.cls], cls_idx)
+            sel8 = (sels[0] | (sels[1] << 2) | (sels[2] << 4)
+                    | (sels[3] << 6))
+            sel_pl.append(sel8.astype(jnp.uint8))
+            cls_pl.append(cls_idx.astype(jnp.int16))
+            mult_pl.append(jnp.round(jnp.exp(lmult)).astype(jnp.uint8))
+        return (jnp.stack(sel_pl), jnp.stack(cls_pl), jnp.stack(mult_pl))
+
+    return build()
 
 
 def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
@@ -414,7 +473,6 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
     n_cand = int(tables.n_patterns_np.max())
     mix1 = _mix_per_allele(freq, q)                          # A x [N, L]
     mix2 = (_mix_per_allele(freq2, q) if not spec.autopoly else mix1)
-    nm = tables.n_max
     a = freq.shape[2]
 
     # number of valid candidates per site (scalar selects, not a gather)
@@ -428,21 +486,28 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
     # live memory is a few [N, L] planes instead of the [N, C, L]
     # weight + gumbel stacks (C up to 12) the stacked formulation
     # materializes — the VMEM/HBM restructure of update_geno
-    # (poly_geno.c:520-580) flagged in round 3.
+    # (poly_geno.c:520-580) flagged in round 3.  Candidate slot routing,
+    # class index and multiplicity come from the STATIC precomputed
+    # planes (tables.cand_*): only the weight lookups depend on the
+    # sampler state, which cuts the unrolled graph (and its compile
+    # time) ~2.5x vs recomputing the pattern routing per step.
+    dist = _split4(data.distinct)
     best_val = jnp.full((n, l), _NEG)
     choice = jnp.zeros((n, l), jnp.int32)
     for c in range(n_cand):
-        slots = _candidate_slots(tables, data, c)
-        packed = (((slots[0] * nm + slots[1]) * nm + slots[2]) * nm
-                  + slots[3])
-        cls_idx = _select_or_gather(tables.lookup[tables.cls], packed)
+        cls_idx = tables.cand_cls[c].astype(jnp.int32)
         w_same = _table_at(geno_table_log, zc[0], cls_idx)
-        w_mix = _log_mult_at(tables, cls_idx)
+        w_mix = jnp.log(tables.cand_mult[c].astype(jnp.float32))
+        sel8 = tables.cand_sel[c].astype(jnp.int32)
         for m in range(4):
+            sel_m = (sel8 >> (2 * m)) & 3
+            av = jnp.zeros((n, l), jnp.int32)
+            for j in range(4):
+                av = jnp.where(sel_m == j, dist[j], av)
             mix = mix1 if (spec.autopoly or m < 2) else mix2
             val = jnp.zeros((n, l), jnp.float32)
             for ai in range(a):
-                val = jnp.where(slots[m] == ai, mix[ai], val)
+                val = jnp.where(av == ai, mix[ai], val)
             w_mix = w_mix + _slog(val)
         w = jnp.where(same_z, w_same, w_mix)
         gumbel = -jnp.log(-jnp.log(jax.random.uniform(
@@ -452,16 +517,19 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
         best_val = jnp.where(take, v, best_val)
         choice = jnp.where(take, c, choice)
 
+    # reconstruction: route the CHOSEN candidate's packed selectors once,
+    # then map selectors -> allele values through the distinct planes
+    sel_ch = jnp.zeros((n, l), jnp.int32)
+    for c in range(n_cand):
+        sel_ch = jnp.where(choice == c,
+                           tables.cand_sel[c].astype(jnp.int32), sel_ch)
     geno_slots = []
     for m in range(4):
-        val = jnp.zeros((n, l), jnp.int32)
-        for c in range(n_cand):
-            # _candidate_slots is a handful of selects over the distinct-
-            # allele planes; recomputing per output slot keeps live memory
-            # at a few [N, L] planes (XLA CSEs the repeats it can)
-            val = jnp.where(choice == c,
-                            _candidate_slots(tables, data, c)[m], val)
-        geno_slots.append(val)
+        sel_m = (sel_ch >> (2 * m)) & 3
+        av = jnp.zeros((n, l), jnp.int32)
+        for j in range(4):
+            av = jnp.where(sel_m == j, dist[j], av)
+        geno_slots.append(av)
     return jnp.concatenate(geno_slots, axis=1).astype(jnp.int8)
 
 
