@@ -40,6 +40,63 @@ def read_c_baseline() -> float:
     return float(m.group(1))
 
 
+def run_trace_windows(vblock, states, keys, fold, t_block, chains,
+                      min_trace_steps=0, min_windows=2, max_windows=8,
+                      tol=0.03):
+    """Collect the ESS trace AND a trustworthy throughput number.
+
+    Round 4 post-mortem (VERDICT r4, Weak #1): the headline
+    chain-steps/s used to come from ONE 50-step block (~0.15 s wall),
+    which swung +-12% on dispatch/timing noise and produced a phantom
+    11% regression.  Here the throughput is derived from multi-second
+    WINDOWS of the long ESS trace itself, and the number is only
+    recorded once two consecutive windows agree within ``tol`` (3%);
+    otherwise more windows are run (up to ``max_windows``) and the
+    report carries the window spread so disagreement is visible rather
+    than silent.
+
+    Each window = ``blocks_per_window`` compiled scan blocks; device
+    sync (block_until_ready) at window boundaries only, so the window
+    wall is dominated by device compute, not host dispatch.
+
+    Returns (trace [C, T_total, ...], steps_per_sec_total, windows list).
+    The trace is concatenated along the STEP axis (axis 1 — vmapped
+    chain_blocks return [C, t_block, ...]); earlier rounds concatenated
+    the [C, T, K] blocks along axis 0 and then indexed the result as
+    [T, C, K], so the "per-chain" ESS series actually interleaved chains
+    and block-local step indices — near-iid chains made the number land
+    in the right ballpark, but it was not the statistic it claimed to be.
+    """
+    import jax
+    # pick a window size of >= ~2 s of device time: calibrate from one
+    # synced block
+    t0 = time.time()
+    states, tr0 = jax.block_until_ready(vblock(states, fold(keys, 0)))
+    dt0 = max(time.time() - t0, 1e-3)
+    blocks_per_window = max(1, int(2.0 / dt0))
+    traces = [np.asarray(tr0)]
+    windows = []
+    b = 1
+    while len(windows) < max_windows:
+        t0 = time.time()
+        for _ in range(blocks_per_window):
+            states, tr = vblock(states, fold(keys, b))
+            traces.append(np.asarray(tr))
+            b += 1
+        jax.block_until_ready(states)
+        wall = time.time() - t0
+        windows.append(t_block * blocks_per_window * chains / wall)
+        if len(windows) >= min_windows and b * t_block >= min_trace_steps:
+            w1, w2 = windows[-2], windows[-1]
+            if abs(w1 - w2) / max(w1, w2) <= tol:
+                break
+    trace = np.concatenate(traces, axis=1)
+    # headline throughput: total steps over the agreeing (last two)
+    # windows — per-step rate of the long window, not a micro-burst
+    steps_per_sec = float(np.mean(windows[-2:]))
+    return trace, steps_per_sec, windows
+
+
 def bench_tetra(args):
     """Tetraploid benchmark (--tetra auto|allo): 500 x 5k K=3 panel,
     measures chain-steps/s of the full ploid-4 sweep (poly_geno.c engine
@@ -84,25 +141,19 @@ def bench_tetra(args):
     vblock = jax.jit(jax.vmap(chain_block))
     keys = jax.random.split(jax.random.key(0), c)
     states = jax.vmap(lambda kk: init_state(kk, spec, panel.data))(keys)
-    states, _ = jax.block_until_ready(vblock(states, keys))
+    states, _ = jax.block_until_ready(vblock(states, keys))   # warmup
 
-    t0 = time.time()
-    states, _ = jax.block_until_ready(vblock(states, jax.vmap(
-        lambda kk: jax.random.fold_in(kk, 1))(keys)))
-    dt = time.time() - t0
-    chain_steps_per_sec = t_measure * c / dt
+    def fold(kk, b):
+        return jax.vmap(lambda x: jax.random.fold_in(x, 100 + b))(kk)
 
-    traces = []
-    for b in range(max(1, t_trace // t_measure)):
-        states, tr = vblock(states, jax.vmap(
-            lambda kk: jax.random.fold_in(kk, 100 + b))(keys))
-        traces.append(np.asarray(tr))
-    jax.block_until_ready(states)
-    trace = np.concatenate(traces, axis=0)
+    trace, chain_steps_per_sec, windows = run_trace_windows(
+        vblock, states, keys, fold, t_measure, c,
+        min_trace_steps=t_trace)
 
-    ess_total = sum(effective_sample_size(trace[:, ci, kk])
+    # trace [C, T, K]: true per-chain, per-parameter ESS series
+    ess_total = sum(effective_sample_size(trace[ci, :, kk])
                     for ci in range(c) for kk in range(k))
-    ess_per_chain_step = ess_total / (trace.shape[0] * c)
+    ess_per_chain_step = ess_total / (trace.shape[1] * c)
     ess_per_sec = ess_per_chain_step * chain_steps_per_sec
 
     print(json.dumps({
@@ -116,6 +167,7 @@ def bench_tetra(args):
             "ess_per_chain_step": round(float(ess_per_chain_step), 5),
             "chains": c, "panel": [n, l, k],
             "alleles": args.tetra_alleles, "autopoly": autopoly,
+            "throughput_windows": [round(w, 1) for w in windows],
         },
     }))
 
@@ -183,29 +235,22 @@ def main():
     # warmup/compile
     states, _ = jax.block_until_ready(vblock(states, keys))
 
-    t0 = time.time()
-    states, trace1 = jax.block_until_ready(vblock(states, jax.vmap(
-        lambda kk: jax.random.fold_in(kk, 1))(keys)))
-    dt = time.time() - t0
-    chain_steps_per_sec = t_measure * c / dt
+    def fold(kk, b):
+        return jax.vmap(lambda x: jax.random.fold_in(x, 100 + b))(kk)
 
-    # longer trace for ESS (reuses the compiled block)
-    traces = [np.asarray(trace1)]           # [T, C, K] blocks
-    n_blocks = max(1, t_trace // t_measure)
-    t1 = time.time()
-    for b in range(n_blocks):
-        states, tr = vblock(states, jax.vmap(
-            lambda kk: jax.random.fold_in(kk, 100 + b))(keys))
-        traces.append(np.asarray(tr))
-    jax.block_until_ready(states)
-    wall_trace = time.time() - t1
-    trace = np.concatenate(traces, axis=0)   # [T_total, C, K]
+    # throughput AND the ESS trace come from the same multi-second
+    # windows of the long run; two consecutive windows must agree within
+    # 3% before the number is recorded (see run_trace_windows)
+    trace, chain_steps_per_sec, windows = run_trace_windows(
+        vblock, states, keys, fold, t_measure, c,
+        min_trace_steps=t_trace)
 
+    # trace [C, T, K]: true per-chain, per-parameter ESS series
     ess_total = 0.0
     for ci in range(c):
         for kk in range(k):
-            ess_total += effective_sample_size(trace[:, ci, kk])
-    ess_per_chain_step = ess_total / (trace.shape[0] * c)
+            ess_total += effective_sample_size(trace[ci, :, kk])
+    ess_per_chain_step = ess_total / (trace.shape[1] * c)
     ess_per_sec = ess_per_chain_step * chain_steps_per_sec
 
     c_iters = read_c_baseline()
@@ -223,7 +268,8 @@ def main():
             "panel": [n, l, k],
             "c_baseline_iters_per_sec": (None if not np.isfinite(c_iters)
                                          else c_iters),
-            "trace_wall_s": round(wall_trace, 1),
+            "trace_steps": int(trace.shape[1]),
+            "throughput_windows": [round(w, 1) for w in windows],
         },
     }))
 

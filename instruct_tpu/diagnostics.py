@@ -60,8 +60,7 @@ def effective_sample_size_batch(traces) -> jnp.ndarray:
     return jnp.where(var == 0, float(n), ess)
 
 
-def effective_sample_size(trace: np.ndarray, max_lag: int | None = None
-                          ) -> float:
+def effective_sample_size(trace: np.ndarray) -> float:
     """ESS of a single scalar chain via the initial positive sequence
     (Geyer 1992): ESS = n / (1 + 2 sum rho_t) truncated at the first
     non-positive pair sum.  Thin wrapper over the batched estimator."""

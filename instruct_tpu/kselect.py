@@ -33,8 +33,9 @@ folded into the chains axis of a single run at K_max shapes with a
 per-replica active-pop mask (`run_mcmc(active_pops=...)`), so the whole
 grid costs one compile and saturates the device/mesh together.  Per-K
 results are then sliced back out of the replica axis (padding columns
-hold exact zeros, so DIC/WAIC/GR are unchanged).  Tetraploid panels and
-mode 0 fall back to the per-K sequential loop (one jit specialisation
+hold exact zeros, so DIC/WAIC/GR are unchanged).  Every diploid mode
+(0-5) K-sweeps in one compile; tetraploid panels and loci-sharded
+meshes fall back to the per-K sequential loop (one jit specialisation
 per K).
 """
 
@@ -119,7 +120,9 @@ def infer_k(
         n_small = 1
         n_large = int(data.n_indv ** 0.3) + 1  # InStruct.c:547-548
     # the corrected DIC needs the posterior-mean P for its plug-in pass
-    run_kwargs.setdefault("track_freq", spec.ploid == 2)
+    # (diploid AND tetraploid — the tetra plug-in conditions on the final
+    # latents, driver._plugin_tetra_loglik)
+    run_kwargs.setdefault("track_freq", True)
     dic: Dict[int, np.ndarray] = {}
     dic_ref: Dict[int, np.ndarray] = {}
     waic: Dict[int, Optional[np.ndarray]] = {}
@@ -128,8 +131,15 @@ def infer_k(
     gr: Dict[int, Optional[float]] = {}
     results: Dict[int, RunResult] = {}
     ks_list = list(range(n_small, n_large + 1))
-    use_grid = (grid and spec.ploid == 2 and spec.mode in (1, 2, 3, 4, 5)
-                and len(ks_list) > 1)
+    # run_mcmc rejects active_pops together with loci sharding, so a mesh
+    # whose "data" axis is nontrivial falls back to the sequential per-K
+    # loop instead of raising (ADVICE r4)
+    mesh_data = 1
+    if mesh is not None:
+        from instruct_tpu.parallel.mesh import DATA_AXIS
+        mesh_data = mesh.shape.get(DATA_AXIS, 1)
+    use_grid = (grid and spec.ploid == 2 and len(ks_list) > 1
+                and mesh_data == 1)
 
     if use_grid:
         # one padded (chain x K) run: replicas i*C..(i+1)*C run K = ks[i]

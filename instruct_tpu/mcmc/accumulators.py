@@ -34,13 +34,22 @@ class TrackedStats(NamedTuple):
     rates: jnp.ndarray      # f32[R]
     gen: jnp.ndarray        # f32[N] or f32[0]
     freq: jnp.ndarray       # f32[K, L, A] or f32[0]
-    ll_marg: jnp.ndarray    # f32[N] Z-marginalized per-individual log-lik
+    ll_marg: jnp.ndarray    # f32[N] pointwise per-individual log-lik
     #   (refreshed every Schedule.dic_every-th stored step and held
     #   constant between refreshes — repeats weight the subsample
     #   uniformly, so every statistic below is an unbiased subsampled
     #   estimate).  mean -> the E[logL] term of the corrected DIC;
     #   mean/mean_sq -> the per-individual Var[logL_i] of WAIC's pwaic.
-    #   Size 0 for the tetraploid engine.
+    #   Focus (documented model-choice choice): diploid modes use the
+    #   Z-MARGINALIZED likelihood (likelihood.py:marginal_site_loglik);
+    #   the tetraploid engine has no closed marginal over its latent
+    #   ordering, so its focus is the (z, geno)-CONDITIONAL pointwise
+    #   likelihood (tetra/engine.py:_site_loglik summed per individual) —
+    #   each draw conditions on that draw's latents, the standard
+    #   conditional-focus WAIC for latent-variable models.
+    freq2: jnp.ndarray = None  # f32[K, L, A] second frequency system
+    #   (allotetraploid with track_freq; size 0 otherwise) — needed so the
+    #   tetra plug-in deviance can evaluate at the posterior means
 
 
 class ChainAccum(NamedTuple):
@@ -55,10 +64,9 @@ class ChainAccum(NamedTuple):
     empty_cluster: jnp.ndarray  # bool[] — latched at the
     #   nstep_check_empty_cluster-th stored sample (mcmc.c:227-234)
     lme_indv: jnp.ndarray     # f32[N] running log-mean-exp of the
-    #   per-individual Z-marginalized log-lik: log E[p(y_i | theta)], the
+    #   per-individual pointwise log-lik: log E[p(y_i | theta)], the
     #   lppd term of WAIC (Watanabe 2010).  Label-invariant, unlike the
     #   DIC plug-in — the statistic K-selection uses (kselect.py).
-    #   Size 0 for the tetraploid engine.
     m2_ll_marg: jnp.ndarray   # f32[N] Welford sum of squared deviations of
     #   the per-individual marginal log-lik — Var[log p(y_i|theta)] =
     #   m2/count is WAIC's pwaic_2 term.  A separate centered accumulator
@@ -75,6 +83,9 @@ def extract_stats(spec: ModelSpec, state: McmcState, track_freq: bool
     gen = (state.gen.astype(jnp.float32) if spec.has_selfing
            else jnp.zeros((0,), jnp.float32))
     freq = state.freq if track_freq else jnp.zeros((0,), jnp.float32)
+    freq2 = (state.freq2 if (track_freq and spec.ploid == 4
+                             and not spec.autopoly)
+             else jnp.zeros((0,), jnp.float32))
     ll_marg = (state.loglik_marg if state.loglik_marg is not None
                else jnp.zeros((0,), jnp.float32))
     return TrackedStats(
@@ -85,6 +96,7 @@ def extract_stats(spec: ModelSpec, state: McmcState, track_freq: bool
         gen=gen,
         freq=freq,
         ll_marg=ll_marg,
+        freq2=freq2,
     )
 
 
@@ -95,6 +107,7 @@ def init_accum(spec: ModelSpec, sched: Schedule, data: Dataset,
     a = data.max_alleles
     l = data.n_loci
     r = spec.n_rates(n)
+    allo = spec.ploid == 4 and not spec.autopoly
     zeros = TrackedStats(
         total_ll=jnp.zeros(()),
         indv_ll=jnp.zeros((n,)),
@@ -102,7 +115,8 @@ def init_accum(spec: ModelSpec, sched: Schedule, data: Dataset,
         rates=jnp.zeros((r,)),
         gen=jnp.zeros((n,) if spec.has_selfing else (0,)),
         freq=jnp.zeros((k, l, a) if track_freq else (0,)),
-        ll_marg=jnp.zeros((n,) if spec.ploid == 2 else (0,)),
+        ll_marg=jnp.zeros((n,)),
+        freq2=jnp.zeros((k, l, a) if (track_freq and allo) else (0,)),
     )
     return ChainAccum(
         count=jnp.zeros((), jnp.int32),
@@ -110,8 +124,8 @@ def init_accum(spec: ModelSpec, sched: Schedule, data: Dataset,
         mean_sq=zeros,
         convg_ld=jnp.zeros((sched.ckrep,)),
         empty_cluster=jnp.asarray(False),
-        lme_indv=jnp.full((n,) if spec.ploid == 2 else (0,), -jnp.inf),
-        m2_ll_marg=jnp.zeros((n,) if spec.ploid == 2 else (0,)),
+        lme_indv=jnp.full((n,), -jnp.inf),
+        m2_ll_marg=jnp.zeros((n,)),
     )
 
 

@@ -63,7 +63,6 @@ def init_dpm(key, alpha: float, n: int) -> DpmTable:
     counts = jnp.zeros((n,), jnp.int32)
     assign = jnp.zeros((n,), jnp.int32)
     kg, kv = jax.random.split(key)
-    gumbel = jax.random.gumbel(kg, (n, n + 1), jnp.float32)
     new_vals = jax.random.uniform(kv, (n,))
 
     def body(carry, j):
@@ -72,7 +71,13 @@ def init_dpm(key, alpha: float, n: int) -> DpmTable:
                                _slog(counts.astype(jnp.float32)), _NEG)
         log_new = _slog(jnp.asarray(alpha, jnp.float32))
         all_masses = jnp.concatenate([log_new[None], log_masses])
-        choice = jnp.argmax(all_masses + gumbel[j])
+        # per-row noise drawn in-scan from a folded key: state-independent,
+        # so correctness matches a hoisted plane, but memory stays O(N)
+        # instead of an O(N^2) [N, N+1] plane (ADVICE r4 — ~400 MB/chain
+        # at N=10k before the fix)
+        gumbel_j = jax.random.gumbel(jax.random.fold_in(kg, j), (n + 1,),
+                                     jnp.float32)
+        choice = jnp.argmax(all_masses + gumbel_j)
         is_new = choice == 0
         free = jnp.argmin(counts)                  # first empty slot
         slot = jnp.where(is_new, free, choice - 1)
@@ -98,15 +103,15 @@ def crp_sweep_selfing(key, table: DpmTable, gen, alpha: float) -> DpmTable:
     """One collapsed-Gibbs CRP sweep for mode 3 (update_DP + gen_post_prob
     mode-3 branch, DPMM.c:165-199, 367-377).
 
-    All randomness is hoisted out of the sequential scan: the seat choice
-    becomes Gumbel-argmax against a precomputed [N, N+1] noise plane, and
-    the new-table value Beta(g_j, 2) (sample_poster, DPMM.c:392-398)
-    depends only on g_j — so the batched rejection sampler runs once up
+    The new-table values Beta(g_j, 2) (sample_poster, DPMM.c:392-398)
+    depend only on g_j, so the batched rejection sampler runs once up
     front instead of a `while_loop` per scan iteration (measured 70 ->
-    ~10 ms/sweep at N=1000 on v5e)."""
+    ~10 ms/sweep at N=1000 on v5e).  The seat-choice Gumbel noise is
+    drawn per row INSIDE the scan from a folded key — state-independent,
+    so it equals a hoisted plane statistically, without the O(N^2)
+    [N, N+1] memory footprint (ADVICE r4)."""
     n = gen.shape[0]
     kg, kb = jax.random.split(key)
-    gumbel = jax.random.gumbel(kg, (n, n + 1), jnp.float32)
     gf_all = gen.astype(jnp.float32)
     new_vals = jax.random.beta(kb, gf_all, 2.0)    # [N]
 
@@ -121,8 +126,10 @@ def crp_sweep_selfing(key, table: DpmTable, gen, alpha: float) -> DpmTable:
         gf = g.astype(jnp.float32)
         log_new = _slog(jnp.asarray(alpha, jnp.float32)) - _slog(gf) \
             - _slog(gf + 1.0)                       # alpha * B(g, 2)
+        gumbel_j = jax.random.gumbel(jax.random.fold_in(kg, j), (n + 1,),
+                                     jnp.float32)   # in-scan: O(N) memory
         choice = jnp.argmax(
-            jnp.concatenate([log_new[None], log_tables]) + gumbel[j])
+            jnp.concatenate([log_new[None], log_tables]) + gumbel_j)
         is_new = choice == 0
         free = jnp.argmin(counts)
         slot = jnp.where(is_new, free, choice - 1)
@@ -221,7 +228,6 @@ def crp_sweep_inbreeding(key, table: DpmTable, ll_grid,
     n, m = ll_grid.shape
     grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
     kg, kb = jax.random.split(key)
-    gumbel = jax.random.gumbel(kg, (n, n + 1), jnp.float32)
     # griddy new-value draws depend only on the (precomputed) grid curve,
     # so they batch outside the scan like the Beta draws of the mode-3
     # sweep; the per-j integrals are likewise a single [N]-row logsumexp.
@@ -245,8 +251,10 @@ def crp_sweep_inbreeding(key, table: DpmTable, ll_grid,
         log_tables = jnp.where(counts > 0,
                                _slog(counts.astype(jnp.float32))
                                + onehot @ ll_j, _NEG)
+        gumbel_j = jax.random.gumbel(jax.random.fold_in(kg, j), (n + 1,),
+                                     jnp.float32)   # in-scan: O(N) memory
         choice = jnp.argmax(
-            jnp.concatenate([log_new[None], log_tables]) + gumbel[j])
+            jnp.concatenate([log_new[None], log_tables]) + gumbel_j)
         is_new = choice == 0
         free = jnp.argmin(counts)
         slot = jnp.where(is_new, free, choice - 1)

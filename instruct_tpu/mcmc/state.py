@@ -49,13 +49,13 @@ class McmcState(NamedTuple):
     #   current z (diploid modes 1-3) — carried so the fused Pallas step
     #   (kernels/fused_step.py) updates P without re-reading the site
     #   tensors; the XLA path recounts from z and leaves this untouched
-    loglik_marg: jnp.ndarray = None  # f32[N] Z-marginalized per-individual
-    #   log-lik (model/likelihood.py:marginal_indv_loglik), refreshed every
-    #   Schedule.dic_every-th stored step and folded into the streaming
-    #   moments — feeds the corrected DIC (E[logL] + plug-in) and the
-    #   label-invariant WAIC (log-mean-exp + variance per individual).
-    #   Size 0 for the tetraploid engine (no marginal form; model choice
-    #   falls back to the reference-compatible DIC there).
+    loglik_marg: jnp.ndarray = None  # f32[N] pointwise per-individual
+    #   log-lik (diploid: Z-marginalized, likelihood.py:
+    #   marginal_indv_loglik; tetraploid: (z, geno)-conditional,
+    #   tetra/engine.py:_site_loglik — see step.build_marg_loglik for the
+    #   focus), refreshed every Schedule.dic_every-th stored step and
+    #   folded into the streaming moments — feeds the corrected DIC
+    #   (E[logL] + plug-in) and the label-invariant WAIC.
     active: jnp.ndarray = None  # f32[K] active-pop mask (1.0 for pop slots
     #   in use, 0.0 for padding) — only set by the padded (chain x K)
     #   K-selection grid (kselect.py), where every replica shares K_max

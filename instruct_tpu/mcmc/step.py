@@ -476,24 +476,54 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
 
 def build_marg_loglik(spec: ModelSpec, data: Dataset, axis_name=None):
     """`add_marg(state) -> state` filling `state.loglik_marg` with the
-    Z-marginalized total log-likelihood — the deviance focus of the
-    corrected DIC (likelihood.py:marginal_site_loglik).  Returns ``None``
-    for the tetraploid engine (no marginal form; DIC falls back to the
-    reference-compatible formula).
+    pointwise per-individual log-likelihood that feeds WAIC and the
+    corrected DIC.
+
+    Deviance focus (the explicit model-choice focus, per chain draw):
+
+    * diploid modes — the Z-MARGINALIZED likelihood
+      (likelihood.py:marginal_site_loglik), the cleanest focus since the
+      discrete Z integrates out in closed form;
+    * tetraploid engine — no closed marginal over the latent genotype
+      ordering exists, so the focus is the (z, geno)-CONDITIONAL
+      pointwise likelihood (tetra/engine.py:_site_loglik summed per
+      individual), i.e. each posterior draw scores the data conditional
+      on that draw's latents.  This is the standard conditional-focus
+      WAIC for latent-variable models and replaces the reference's
+      degenerate -2 E[logL] ranking for `-ik -p 4` sweeps
+      (InStruct.c:536-601 + result_analysis.c:403-411).
 
     The driver calls this only every ``Schedule.dic_every``-th stored step
     (holding the value constant in between is an unbiased subsampled
-    mean), so the extra K-plane site pass costs ~nothing at the default
+    mean), so the extra site pass costs ~nothing at the default
     thinning."""
-    if spec.ploid != 2:
-        return None
+    if spec.ploid == 4:
+        from instruct_tpu.tetra.engine import (_site_loglik, build_tables,
+                                               log_hwe_table,
+                                               selfing_equilibrium)
+        tables = build_tables(spec, data)
+
+        def add_marg(state: McmcState) -> McmcState:
+            log_hwe = log_hwe_table(tables, spec, state.freq, state.freq2)
+            table = selfing_equilibrium(tables, log_hwe, state.rates)
+            site = _site_loglik(tables, spec, data, state.freq,
+                                state.freq2, state.z, state.geno, table)
+            return state._replace(loglik_marg=site.sum(axis=1))
+        return add_marg
 
     if spec.mode == 0:
         def add_marg(state: McmcState) -> McmcState:
             ll = up._psum(lk.loglik_matrix_nopop_admix(data, state.freq),
                           axis_name)                       # [N, K]
-            indv = (jax.nn.logsumexp(ll, axis=1)
-                    - jnp.log(float(spec.n_pops)))
+            if state.active is not None:
+                # padded K grid: the uniform mixture runs over the ACTIVE
+                # slots only — inactive slots' freq is unconstrained
+                # Dirichlet(1) noise and must not enter the marginal
+                ll = jnp.where(state.active[None, :] > 0, ll, -jnp.inf)
+                log_k = jnp.log(jnp.maximum(state.active.sum(), 1.0))
+            else:
+                log_k = jnp.log(float(spec.n_pops))
+            indv = jax.nn.logsumexp(ll, axis=1) - log_k
             return state._replace(loglik_marg=indv)
         return add_marg
 

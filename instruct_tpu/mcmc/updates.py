@@ -309,9 +309,12 @@ def update_s_pop(key, spec: ModelSpec, q, gen, rates, ais_state):
     O(N) thanks to the rank-1 update sbar' = sbar + q[:, j] (s'_j - s_j).
     """
     k = spec.n_pops
-    keys = jax.random.split(key, k)
+    # disjoint accept/proposal streams: fold_in(key, j) is bit-identical
+    # to split(key, k)[j], so deriving kprop by fold_in would alias pop
+    # j=17's accept uniform with the proposal draws at K >= 18 (ADVICE r4)
+    kacc, kprop = jax.random.split(key)
+    keys = jax.random.split(kacc, k)
 
-    kprop = jax.random.fold_in(key, 17)
     if spec.back_refl == 1:
         proposals = propose_back_reflection(kprop, rates, spec.mh_step_s)
         prop_states = ais_state

