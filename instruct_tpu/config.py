@@ -104,8 +104,12 @@ class ModelSpec:
     #   coupling-through-G limit for +~10% step cost (measured 3.4x ESS/s
     #   at 1000x10k K=3 on v5e).  1 reproduces the reference's update
     #   schedule exactly.  Ignored by modes 4/5 (the F conditional needs a
-    #   site pass, so repeating it is not cheap) and the tetraploid engine
-    #   (the S target rebuilds the genotype-frequency tables).
+    #   site pass, so repeating it is not cheap).  The tetraploid engine
+    #   honors it too (round 5): each extra sweep costs one batched
+    #   equilibrium solve + one class-table site lookup.  Measured on the
+    #   tetra bench panels it does NOT pay (ESS/step 0.20 -> 0.21 at 4
+    #   sweeps, -27% throughput): the tetra S chain's tau ~ 15-30 is
+    #   latent-coupling through (z, geno, q), not proposal-limited.
     alpha_prior_max: float = 10.0      # alpha ~ U[0, 10] initialisation
     #   (mcmc.c:479); also used as the upper bound of the uniform prior in our
     #   (corrected) alpha MH update

@@ -1,0 +1,192 @@
+"""Fused Pallas kernel for the tetraploid latent-genotype Gibbs move.
+
+The XLA formulation of `tetra.engine._sample_geno` (update_geno,
+poly_geno.c:520-580 + choose_*, 854-1215) evaluates, per candidate
+ordering c (up to 12 for the allotetraploid), a (K * G)-way fused select
+into the genotype-class log-frequency table plus 4 slot-allele mixture
+lookups, then streams a Gumbel-argmax.  XLA only partially fuses the
+12-candidate where-chains: at the 500 x 5k benchmark panel the move
+reads/writes ~50 GB of [N, L] plane traffic and costs 63 ms of the 77 ms
+allotetraploid step (BASELINE.md round 4).
+
+This kernel runs the whole move as ONE pass over [bn, bl] site blocks
+with every operand VMEM-resident:
+
+  * the [K*G, bl] table slice is loaded once per block; the per-site
+    lookup table[z0, l, cls_c] is computed g-major — for each class g the
+    K-way z0-select runs once and feeds all candidates' accumulators —
+    so the select count is G*(K + C) per site instead of C*K*G;
+  * candidate slot routing uses the STATIC precomputed planes
+    (TetraTables.cand_sel/cls/mult — data-only, built once per panel);
+  * the mixture values sum_k q_k freq_sys[k, l, a] enter as A (auto) or
+    2A (allo) precomputed [N, L] planes — O(K*A*L) work outside the
+    kernel, shared by all candidates;
+  * Gumbel noise comes from the on-core PRNG (two-slot block seeding as
+    in kernels/fused_step.py); tests inject explicit noise planes
+    instead and check the argmax against an XLA reference bit-for-bit.
+
+Output is the chosen candidate index [N, L]; the cheap slot/allele
+reconstruction (a 12-way select + 16 value selects) stays in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-30
+_NEG = -1e30
+
+
+def _log(x):
+    return jnp.log(jnp.maximum(x, _EPS))
+
+
+def _geno_kernel(seed_ref, table_ref, z0r, z1r, z2r, z3r, d0r, d1r, d2r,
+                 d3r, ncr, mixr, selr, clsr, multr, *rest, n_pops, g_max,
+                 n_cand, n_alleles, autopoly, inkernel_prng, n_seed_words,
+                 n_l_blocks):
+    if inkernel_prng:
+        gum_ref, choice_ref = None, rest[0]
+        i, j = pl.program_id(0), pl.program_id(1)
+        block = i * n_l_blocks + j
+        if n_seed_words >= 2:
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ block)
+        else:
+            pltpu.prng_seed(seed_ref[0], block)
+    else:
+        gum_ref, choice_ref = rest
+
+    z0 = z0r[:].astype(jnp.int32)
+    z1 = z1r[:].astype(jnp.int32)
+    z2 = z2r[:].astype(jnp.int32)
+    z3 = z3r[:].astype(jnp.int32)
+    # (a - b) == 0 rather than a == b: Mosaic folds an eq of two i8->i32
+    # converts back into an unsupported i8 vector compare (fused_step.py)
+    same = ((z0 - z1) == 0) & ((z1 - z2) == 0) & ((z2 - z3) == 0)
+    dist = [d0r[:].astype(jnp.int32), d1r[:].astype(jnp.int32),
+            d2r[:].astype(jnp.int32), d3r[:].astype(jnp.int32)]
+    nc = ncr[:].astype(jnp.int32)
+    a = n_alleles
+
+    # mixed-z weights: log mult + sum_slots log mix_sys[allele]
+    wmix = []
+    for c in range(n_cand):
+        sel8 = selr[c].astype(jnp.int32)
+        w = _log(multr[c].astype(jnp.float32))
+        for m in range(4):
+            sel_m = (sel8 >> (2 * m)) & 3
+            av = dist[0]
+            for jj in range(1, 4):
+                av = jnp.where(sel_m == jj, dist[jj], av)
+            off = 0 if (autopoly or m < 2) else a
+            val = mixr[off]
+            for ai in range(1, a):
+                val = jnp.where(av == ai, mixr[off + ai], val)
+            w = w + _log(val)
+        wmix.append(w)
+
+    # same-z weights, g-major: one K-way z0-select per class feeds all
+    # candidates (select count G*(K + C) per site, not C*K*G)
+    cls = [clsr[c].astype(jnp.int32) for c in range(n_cand)]
+    wsame = [jnp.full(z0.shape, _NEG, jnp.float32) for _ in range(n_cand)]
+    for g in range(g_max):
+        t = table_ref[g, :][None, :]
+        for k in range(1, n_pops):
+            t = jnp.where(z0 == k, table_ref[k * g_max + g, :][None, :], t)
+        for c in range(n_cand):
+            wsame[c] = jnp.where(cls[c] == g, t, wsame[c])
+
+    best = jnp.full(z0.shape, _NEG, jnp.float32)
+    choice = jnp.zeros(z0.shape, jnp.int32)
+    for c in range(n_cand):
+        w = jnp.where(same, wsame[c], wmix[c])
+        if inkernel_prng:
+            bits = pltpu.prng_random_bits(z0.shape)
+            u = ((bits & 0x7FFFFF).astype(jnp.float32) + 0.5) * (
+                1.0 / (1 << 23))
+            gmb = -jnp.log(-jnp.log(u))
+        else:
+            gmb = gum_ref[c]
+        v = jnp.where(nc > c, w + gmb, _NEG)
+        take = v > best
+        best = jnp.where(take, v, best)
+        choice = jnp.where(take, c, choice)
+    choice_ref[:] = choice
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pops", "autopoly", "interpret"))
+def geno_choice_pass(seed, table, z, dist, nc, mix, cand_sel, cand_cls,
+                     cand_mult, *, n_pops, autopoly, interpret=False,
+                     gumbel=None):
+    """Chosen candidate index i32[N, L] of the latent-genotype Gibbs move.
+
+    table f32[K, L, G]; z i8[N, 4L] copy-major; dist i8/i32[N, 4L]
+    copy-major distinct planes; nc u8[N, L] valid-candidate counts;
+    mix f32[A_sys, N, L] mixture planes (A rows for auto, 2A for allo:
+    system-1 rows then system-2); cand_* the static planes of
+    TetraTables.  ``gumbel`` f32[C, N, L] replaces the on-core PRNG for
+    bit-exact testing.
+    """
+    k, l, g_max = table.shape
+    n = nc.shape[0]
+    n_cand = cand_sel.shape[0]
+    n_sys = mix.shape[0]
+
+    bn = min(128, max(8, n))
+    bl = min(256, -(-l // 128) * 128)
+    np_, lp = n + (-n % bn), l + (-l % bl)
+    grid = (np_ // bn, lp // bl)
+
+    def pad2(x):
+        return jnp.pad(x, ((0, np_ - x.shape[0]), (0, lp - x.shape[1])))
+
+    def pad3(x):
+        return jnp.pad(x, ((0, 0), (0, np_ - x.shape[1]),
+                           (0, lp - x.shape[2])))
+
+    table_rows = jnp.pad(
+        jnp.transpose(table, (0, 2, 1)).reshape(k * g_max, l),
+        ((0, 0), (0, lp - l)))
+
+    zc = [pad2(z[:, m * l:(m + 1) * l]) for m in range(4)]
+    dc = [pad2(dist[:, m * l:(m + 1) * l].astype(jnp.int8))
+          for m in range(4)]
+
+    site_blk = pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+    stack_blk = pl.BlockSpec((n_cand, bn, bl), lambda i, j, *_: (0, i, j),
+                             memory_space=pltpu.VMEM)
+    operands = [table_rows, *zc, *dc, pad2(nc.astype(jnp.int8)),
+                pad3(mix), pad3(cand_sel.astype(jnp.int8)),
+                pad3(cand_cls), pad3(cand_mult.astype(jnp.int8))]
+    in_specs = [pl.BlockSpec((k * g_max, bl), lambda i, j, *_: (0, j),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [site_blk] * 9
+    in_specs += [pl.BlockSpec((n_sys, bn, bl), lambda i, j, *_: (0, i, j),
+                              memory_space=pltpu.VMEM)]
+    in_specs += [stack_blk] * 3
+    if gumbel is not None:
+        operands.append(pad3(gumbel))
+        in_specs.append(stack_blk)
+
+    seed_words = jnp.atleast_1d(jnp.asarray(seed, jnp.int32)).reshape(-1)
+    kernel = functools.partial(
+        _geno_kernel, n_pops=k, g_max=g_max, n_cand=n_cand,
+        n_alleles=n_sys if autopoly else n_sys // 2, autopoly=autopoly,
+        inkernel_prng=gumbel is None,
+        n_seed_words=seed_words.shape[0], n_l_blocks=grid[1])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((bn, bl), lambda i, j, *_: (i, j),
+                               memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((np_, lp), jnp.int32),
+        interpret=interpret)(seed_words, *operands)
+    return out[:n, :l]

@@ -185,30 +185,38 @@ def _chain_runner(spec: ModelSpec, sched: Schedule, data: Dataset,
     check_at = (-1 if (spec.mode == 0 and spec.ploid == 2)
                 else sched.nstep_check_empty_cluster)
     tetra = spec.ploid == 4
+    tetra_tables = None
     if tetra:
-        from instruct_tpu.mcmc.step import build_marg_loglik
-        tetra_parts = build_step_parts(spec, data)
-        # hoisted out of the traced run_segment: build_tables does host-
-        # side combinatorics precompute from the concrete panel
-        tetra_marg = build_marg_loglik(spec, data)
+        # Host-side class-table precompute from the concrete panel
+        # (shard-0 local view under loci sharding — valid for every
+        # shard under the class-uniform layout).  WITHOUT the [C, N, L]
+        # candidate planes: the panel reaches the traced programs as a
+        # RUNTIME argument (like the diploid path), and the planes are
+        # rebuilt in-trace from it (engine.retable_candidates) — keeping
+        # concrete ones would embed the panel-sized tensors as program
+        # CONSTANTS (gigabytes at biobank sizes).
+        from instruct_tpu.tetra.engine import build_tables
+        src = data
+        if axis_name is not None:
+            from instruct_tpu.parallel import loci_shard as _ls
+            src = _ls.local_view(data)
+        tetra_tables = build_tables(spec, src, with_candidates=False)
 
     def init_chain(key: jax.Array, init_rates, rt_data: Dataset,
                    active=None):
         k_init, k_steps = jax.random.split(key)
-        state = init_state(k_init, spec,
-                           data if tetra else rt_data, init_rates,
-                           axis_name=axis_name, active=active)
-        accum = init_accum(spec, sched, data if tetra else rt_data,
-                           track_freq)
+        state = init_state(k_init, spec, rt_data, init_rates,
+                           axis_name=axis_name, active=active,
+                           tetra_tables=tetra_tables)
+        accum = init_accum(spec, sched, rt_data, track_freq)
         return state, accum, k_steps
 
     def run_segment(state, accum, k_steps, idxs, rt_data: Dataset):
         from instruct_tpu.mcmc.step import build_marg_loglik
-        step_core, add_loglik = (tetra_parts if tetra
-                                 else build_step_parts(spec, rt_data,
-                                                       axis_name))
-        add_marg = (tetra_marg if tetra
-                    else build_marg_loglik(spec, rt_data, axis_name))
+        step_core, add_loglik = build_step_parts(spec, rt_data, axis_name,
+                                                 tetra_tables)
+        add_marg = build_marg_loglik(spec, rt_data, axis_name,
+                                     tetra_tables)
         last_idx = idxs[-1]
 
         def body(carry, step_idx):
@@ -319,12 +327,14 @@ def run_mcmc(
         # there is ZERO communication in the step loop.
         chain_shardmap = (n_ds == 1 and n_cs > 1 and n_chains % n_cs == 0)
         # Loci sharding: explicit shard_map SPMD (default) or GSPMD.
+        # Diploid panels shard contiguous loci blocks; tetraploid panels
+        # use the class-uniform permuted layout (loci_shard.py).
         if n_ds > 1 and mesh_mode in ("auto", "shard_map"):
-            data_shardmap = spec.ploid == 2 and n_chains % n_cs == 0
+            data_shardmap = n_chains % n_cs == 0
             if not data_shardmap and mesh_mode == "shard_map":
                 raise ValueError(
-                    "mesh_mode='shard_map' requires a diploid panel and "
-                    f"n_chains divisible by the '{CHAIN_AXIS}' axis")
+                    "mesh_mode='shard_map' requires n_chains divisible "
+                    f"by the '{CHAIN_AXIS}' axis")
         if (mesh.devices.size > 1 and not chain_shardmap
                 and not data_shardmap):
             # GSPMD fallback: it cannot partition the fused Pallas custom
@@ -371,6 +381,12 @@ def run_mcmc(
             from instruct_tpu.parallel.mesh import chain_sharding
             active_dev = jax.device_put(active_dev, chain_sharding(mesh))
 
+    if data_shardmap:
+        # stack BEFORE building the chain runner: the tetraploid runner
+        # builds its class tables from the stacked panel's shard-0 view
+        from instruct_tpu.parallel import loci_shard as ls
+        data = ls.stack_loci(data, n_ds)     # leading shard axis, P(dp)
+
     init_chain, run_segment = _chain_runner(
         spec, sched, data, track_freq,
         axis_name=(DATA_AXIS if data_shardmap else None))
@@ -380,36 +396,37 @@ def run_mcmc(
         return init_chain(key, rates0, rt_data, active_row)
 
     if data_shardmap:
-        from instruct_tpu.parallel import loci_shard as ls
         from instruct_tpu.parallel.mesh import get_shard_map
         shard_map = get_shard_map()
         from jax.sharding import PartitionSpec as P
         from instruct_tpu.mcmc.accumulators import TrackedStats
         cp, dp = P(CHAIN_AXIS), P(DATA_AXIS)
-        data = ls.stack_loci(data, n_ds)     # leading shard axis, P(dp)
 
-        has_zc = spec.mode in (1, 2, 3, 4, 5)
+        loci_sharded_4 = P(CHAIN_AXIS, None, DATA_AXIS, None)
+        has_zc = spec.ploid == 2 and spec.mode in (1, 2, 3, 4, 5)
+        allo = spec.ploid == 4 and not spec.autopoly
         state_spec = McmcState(
-            freq=P(CHAIN_AXIS, None, DATA_AXIS, None),
+            freq=loci_sharded_4,
             z=P(CHAIN_AXIS, None, DATA_AXIS),
             zz=cp, q=cp, alpha=cp, rates=cp, ais_state=cp, gen=cp,
             loglik_indv=cp, loglik_total=cp, dpm_values=cp, dpm_counts=cp,
             dpm_assign=cp, prior_mu=cp, prior_sigma2=cp,
-            freq2=None, geno=None,
-            zcounts=(P(CHAIN_AXIS, None, DATA_AXIS, None)
-                     if has_zc else None),
+            freq2=(loci_sharded_4 if spec.ploid == 4 else None),
+            geno=(P(CHAIN_AXIS, None, DATA_AXIS) if spec.ploid == 4
+                  else None),
+            zcounts=(loci_sharded_4 if has_zc else None),
             loglik_marg=cp)
         stats_spec = TrackedStats(
             total_ll=cp, indv_ll=cp, q=cp, rates=cp, gen=cp,
-            freq=(P(CHAIN_AXIS, None, DATA_AXIS, None)
-                  if track_freq else cp),
-            ll_marg=cp, freq2=cp)
+            freq=(loci_sharded_4 if track_freq else cp),
+            ll_marg=cp,
+            freq2=(loci_sharded_4 if (track_freq and allo) else cp))
         accum_spec = ChainAccum(count=cp, mean=stats_spec,
                                 mean_sq=stats_spec, convg_ld=cp,
                                 empty_cluster=cp, lme_indv=cp,
                                 m2_ll_marg=cp)
-        data_spec = Dataset(geno=dp, site_valid=dp, allele_valid=dp,
-                            hom=dp, distinct=None, n_distinct=None)
+        # every present panel leaf is stacked on the leading shard axis
+        data_spec = jax.tree.map(lambda _: dp, data)
 
         def _init_body(kdata, rates_rows, stacked):
             rt = ls.local_view(stacked)
@@ -631,7 +648,10 @@ def run_mcmc(
     plugin_ll = None
     if track_freq and spec.ploid == 2:
         plugin_ll = _plugin_loglik(spec, host_data, accum, active_pops)
-    elif track_freq and spec.ploid == 4:
+    elif track_freq and spec.ploid == 4 and not data_shardmap:
+        # loci-sharded tetra leaves z/geno/P in the permuted blocked
+        # layout; the DIC plug-in is skipped (WAIC, computed in-run on
+        # the sharded state, remains the model-choice statistic)
         plugin_ll = _plugin_tetra_loglik(spec, host_data, accum, state)
     return RunResult(accum=accum, final_state=state, n_retries=retries,
                      plugin_ll=plugin_ll)
@@ -685,7 +705,7 @@ def _plugin_tetra_loglik(spec: ModelSpec, data: Dataset, accum: ChainAccum,
     from instruct_tpu.tetra.engine import (_site_loglik, build_tables,
                                            log_hwe_table,
                                            selfing_equilibrium)
-    tables = build_tables(spec, data)
+    tables = build_tables(spec, data, with_candidates=False)
     mean = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), accum.mean)
 
     def one_chain(m, z, geno):

@@ -81,6 +81,7 @@ def init_state(
     init_rates: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
     active: Optional[jnp.ndarray] = None,
+    tetra_tables=None,
 ) -> McmcState:
     """Draw the initial state for one chain.
 
@@ -94,7 +95,8 @@ def init_state(
     """
     if spec.ploid == 4:
         from instruct_tpu.tetra.engine import init_tetra_state
-        return init_tetra_state(key, spec, data, init_rates)
+        return init_tetra_state(key, spec, data, init_rates,
+                                axis_name=axis_name, tables=tetra_tables)
 
     n = data.geno.shape[0]
     l, p = data.n_loci, data.ploid

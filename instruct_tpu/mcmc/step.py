@@ -356,7 +356,8 @@ def _build_fused_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     return step, add_loglik
 
 
-def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
+def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None,
+                     tetra_tables=None):
     """Return `(step_core, add_loglik)` for the given mode.
 
     ``axis_name`` names the loci-shard mesh axis when the step runs inside
@@ -387,12 +388,14 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
             "marginalize_g applies to the diploid selfing modes 2/3 "
             "(the only modes with generation latents)")
     if spec.ploid == 4:
-        if axis_name is not None:
-            raise NotImplementedError(
-                "loci sharding of the tetraploid engine is not supported; "
-                "use a chain-parallel mesh for ploid=4")
         from instruct_tpu.tetra.engine import build_tetra_step
-        return build_tetra_step(spec, data)
+        if axis_name is not None and tetra_tables is None:
+            raise ValueError(
+                "the loci-sharded tetraploid step needs prebuilt class "
+                "tables (build_tables on a concrete shard-local view "
+                "under the class-uniform layout — the chain driver "
+                "passes them; see tetra/engine.build_tetra_step)")
+        return build_tetra_step(spec, data, axis_name, tetra_tables)
     if spec.mode not in (0, 1, 2, 3, 4, 5):
         raise ValueError(f"unknown mode {spec.mode}")
     if spec.marginalize_g:
@@ -474,7 +477,8 @@ def build_step_parts(spec: ModelSpec, data: Dataset, axis_name=None):
     return step, (lambda s: _cal_lkh(spec, data, s, axis_name))
 
 
-def build_marg_loglik(spec: ModelSpec, data: Dataset, axis_name=None):
+def build_marg_loglik(spec: ModelSpec, data: Dataset, axis_name=None,
+                      tetra_tables=None):
     """`add_marg(state) -> state` filling `state.loglik_marg` with the
     pointwise per-individual log-likelihood that feeds WAIC and the
     corrected DIC.
@@ -501,14 +505,16 @@ def build_marg_loglik(spec: ModelSpec, data: Dataset, axis_name=None):
         from instruct_tpu.tetra.engine import (_site_loglik, build_tables,
                                                log_hwe_table,
                                                selfing_equilibrium)
-        tables = build_tables(spec, data)
+        tables = (tetra_tables if tetra_tables is not None
+                  else build_tables(spec, data, with_candidates=False))
 
         def add_marg(state: McmcState) -> McmcState:
             log_hwe = log_hwe_table(tables, spec, state.freq, state.freq2)
             table = selfing_equilibrium(tables, log_hwe, state.rates)
             site = _site_loglik(tables, spec, data, state.freq,
                                 state.freq2, state.z, state.geno, table)
-            return state._replace(loglik_marg=site.sum(axis=1))
+            indv = up._psum(site.sum(axis=1), axis_name)
+            return state._replace(loglik_marg=indv)
         return add_marg
 
     if spec.mode == 0:

@@ -195,6 +195,25 @@ def update_z_noadmix(key, data: Dataset, freq, axis_name=None,
     return jax.random.categorical(key, ll, axis=-1)
 
 
+# Round-5 sampler-design note (why there is no "marginal-Q refresh" move
+# here): the honest per-chain ESS diagnosis found the sweep's slow mode is
+# the Q<->Z mutual reinforcement (q autocorrelation rho_1 = 0.99 at
+# 1000x10k; S and G inherit it through sbar) — the classic STRUCTURE-Gibbs
+# pathology, shared by the reference (mcmc.c:1122-1199).  An extra MH move
+# accepting q' on the Z-MARGINALIZED likelihood while keeping z is NOT a
+# valid kernel on the joint posterior (measured: it shifts E[logL] by
+# ~1.5%), and the correct collapsed (q, z)-joint variant requires the z
+# refresh to be an EXACT draw from p(z | q, data) for the marginal ratio
+# to telescope — but the reference's per-copy Z kernel draws each copy
+# independently ~ Cat(q_k p_k), which is only approximate Gibbs when the
+# selfing/inbreeding genofreq couples the two copies at same-z sites.
+# Against that implicitly-defined target no marginal correction is
+# available, so the framework keeps the reference's kernel family (parity)
+# and leaves the written-model-exact sampler to the HMC/NUTS/SMC paths
+# (samplers/), whose targets are the explicit densities.  Full numbers in
+# BASELINE.md (round 5).
+
+
 # ---------------------------------------------------------------------------
 # alpha — concentration of the Q prior
 # ---------------------------------------------------------------------------

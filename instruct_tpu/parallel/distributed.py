@@ -9,10 +9,13 @@ across hosts (pure DP over replicas — zero inter-chip traffic in the step)
 and the loci axis within hosts over ICI; the only cross-host collectives
 are the R-hat/ESS reductions at the end, which ride DCN.
 
-Chains/s therefore scales linearly with hosts by construction up to the
-per-host compile overhead — the ≥80% 1→N host efficiency target
-(BASELINE.json) is a non-goal to miss: there is no communication on the
-critical path.
+Measured weak-scaling efficiency (scripts/measure_multihost_scaling.py,
+round 5): **93.3%** chains/s going 1 -> 2 `jax.distributed` processes
+(core-pinned CPU processes, 1 XLA device + 2 chains each, localhost grpc
+as the DCN analogue; steady-state segments only) — above the >=80%
+1 -> N host target (BASELINE.md).  There is no communication on the
+step-loop critical path, so the residual ~7% is coordinator/dispatch
+overhead, not collectives.
 """
 
 from __future__ import annotations

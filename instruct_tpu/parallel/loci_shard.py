@@ -39,11 +39,9 @@ from instruct_tpu.data.dataset import Dataset
 
 
 def pad_loci(data: Dataset, n_shards: int) -> Dataset:
-    """Pad the loci axis so L % n_shards == 0; padded loci are invalid."""
-    if data.distinct is not None:
-        raise NotImplementedError(
-            "loci sharding of the tetraploid panel is not supported; use a "
-            "chain-parallel mesh for ploid=4")
+    """Pad the loci axis so L % n_shards == 0; padded loci are invalid.
+    (Diploid panels; tetraploid panels go through the class-uniform
+    :func:`stack_loci_tetra` layout instead.)"""
     l = data.n_loci
     pad = -l % n_shards
     if pad == 0:
@@ -67,7 +65,11 @@ def stack_loci(data: Dataset, n_shards: int) -> Dataset:
 
     Each [shard] slice is a self-contained local panel with
     L_loc = L / n_shards loci in standard copy-major layout.
+    Tetraploid panels (``distinct`` present) dispatch to the
+    class-uniform layout of :func:`stack_loci_tetra`.
     """
+    if data.distinct is not None:
+        return stack_loci_tetra(data, n_shards)
     data = pad_loci(data, n_shards)
     n, l, p = data.n_indv, data.n_loci, data.ploid
     ll = l // n_shards
@@ -87,6 +89,86 @@ def stack_loci(data: Dataset, n_shards: int) -> Dataset:
     )
 
 
+def tetra_shard_plan(data: Dataset, n_shards: int) -> np.ndarray:
+    """src i64[n_shards, L_loc]: global locus index of each shard-local
+    column (-1 = synthetic padding locus), under the CLASS-UNIFORM layout.
+
+    The tetraploid engine embeds *static* per-allele-count class
+    structure in its compiled step (the per-class loci groupings that
+    batch the selfing-equilibrium solves, tetra/engine.py:class_loci);
+    shard_map traces ONE program for every shard, so all shards must
+    share that structure.  The plan sorts loci by allele count, pads each
+    class to a multiple of n_shards, and deals each class's loci in
+    contiguous per-shard chunks: class c occupies the same local column
+    range [offset_c, offset_c + m_c) on every shard."""
+    n_all = np.asarray(data.allele_valid).sum(-1).astype(np.int64)
+    shard_src = [[] for _ in range(n_shards)]
+    for v in sorted(set(n_all.tolist())):
+        idx = np.nonzero(n_all == v)[0]
+        m = -(-len(idx) // n_shards)
+        padded = np.concatenate(
+            [idx, np.full(m * n_shards - len(idx), -1, np.int64)])
+        for s in range(n_shards):
+            shard_src[s].extend(padded[s * m:(s + 1) * m].tolist())
+    return np.asarray(shard_src, np.int64)
+
+
+def stack_loci_tetra(data: Dataset, n_shards: int) -> Dataset:
+    """Tetraploid counterpart of :func:`stack_loci`: per-shard local
+    panels under the class-uniform permutation of :func:`tetra_shard_plan`
+    (padding loci carry their class's allele count in allele_valid but
+    site_valid False / n_distinct 1, so they contribute nothing).
+
+    Loci are PERMUTED relative to the input panel — posterior summaries
+    of per-locus quantities (P) must be mapped back through the plan;
+    chain-level summaries (S, Q, log-lik, WAIC) are unaffected."""
+    src = tetra_shard_plan(data, n_shards)                   # [S, L_loc]
+    n = data.n_indv
+    a = data.max_alleles
+    l = data.n_loci
+    n_all = np.asarray(data.allele_valid).sum(-1).astype(np.int64)
+    geno3 = np.asarray(data.geno).reshape(n, 4, l)
+    dist3 = np.asarray(data.distinct).reshape(n, 4, l)
+    sv = np.asarray(data.site_valid)
+    hom = np.asarray(data.hom)
+    nd = np.asarray(data.n_distinct)
+
+    genos, dists, svs, homs, avs, nds = [], [], [], [], [], []
+    for s in range(n_shards):
+        cols = src[s]
+        safe = np.where(cols >= 0, cols, 0)
+        pad = cols < 0
+        g = geno3[:, :, safe].copy()
+        d = dist3[:, :, safe].copy()
+        g[:, :, pad] = 0
+        d[:, :, pad] = 0
+        svx = sv[:, safe].copy()
+        svx[:, pad] = False
+        hx = hom[:, safe].copy()
+        hx[:, pad] = True
+        ndx = nd[:, safe].copy()
+        ndx[:, pad] = 1
+        # padding loci inherit the class's allele count so the local
+        # class layout is identical across shards
+        counts = n_all[safe]
+        avx = np.arange(a)[None, :] < counts[:, None]
+        ll = cols.shape[0]
+        genos.append(g.reshape(n, 4 * ll))
+        dists.append(d.reshape(n, 4 * ll))
+        svs.append(svx)
+        homs.append(hx)
+        avs.append(avx)
+        nds.append(ndx)
+    return Dataset(
+        geno=jnp.asarray(np.stack(genos).astype(np.int8)),
+        site_valid=jnp.asarray(np.stack(svs)),
+        allele_valid=jnp.asarray(np.stack(avs)),
+        hom=jnp.asarray(np.stack(homs)),
+        distinct=jnp.asarray(np.stack(dists).astype(np.int32)),
+        n_distinct=jnp.asarray(np.stack(nds).astype(np.int32)),
+    )
+
+
 def local_view(stacked: Dataset) -> Dataset:
     """The per-device panel inside the shard_map body (leading axis 1)."""
     return Dataset(
@@ -94,6 +176,9 @@ def local_view(stacked: Dataset) -> Dataset:
         site_valid=stacked.site_valid[0],
         allele_valid=stacked.allele_valid[0],
         hom=stacked.hom[0],
+        distinct=None if stacked.distinct is None else stacked.distinct[0],
+        n_distinct=(None if stacked.n_distinct is None
+                    else stacked.n_distinct[0]),
         bits2=None if stacked.bits2 is None else stacked.bits2[0],
     )
 

@@ -79,6 +79,9 @@ class TetraTables(NamedTuple):
     #   indices, slot m at bits [2m, 2m+2)
     cand_cls: jnp.ndarray = None   # i16[C, N, L] genotype-class index
     cand_mult: jnp.ndarray = None  # u8[C, N, L] ordering multiplicity
+    cand_nc: jnp.ndarray = None    # u8[N, L] number of valid candidate
+    #   orderings at each site (n_patterns routed through n_distinct) —
+    #   static data, precomputed for the Pallas genotype-move kernel
 
 
 # identity-keyed memo: build_tables is called by the step builder, the
@@ -90,18 +93,26 @@ class TetraTables(NamedTuple):
 _TABLES_CACHE: list = []
 
 
-def build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
-    for g, ap, tab in _TABLES_CACHE:
-        if g is data.geno and ap == bool(spec.autopoly):
+def build_tables(spec: ModelSpec, data: Dataset,
+                 with_candidates: bool = True) -> TetraTables:
+    """``with_candidates=False`` skips the [C, N, L] candidate planes —
+    the chain driver passes the panel as a RUNTIME argument and rebuilds
+    the planes in-trace (retable_candidates), so materializing concrete
+    ones would embed gigabytes of dead device constants at biobank
+    panel sizes."""
+    key = (bool(spec.autopoly), bool(with_candidates))
+    for g, k, tab in _TABLES_CACHE:
+        if g is data.geno and k == key:
             return tab
-    tab = _build_tables(spec, data)
-    _TABLES_CACHE.append((data.geno, bool(spec.autopoly), tab))
+    tab = _build_tables(spec, data, with_candidates)
+    _TABLES_CACHE.append((data.geno, key, tab))
     if len(_TABLES_CACHE) > 6:
         _TABLES_CACHE.pop(0)
     return tab
 
 
-def _build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
+def _build_tables(spec: ModelSpec, data: Dataset,
+                  with_candidates: bool = True) -> TetraTables:
     n_alleles = np.asarray(data.allele_valid).sum(-1).astype(np.int32)
     ct = build_class_tables(n_alleles, spec.autopoly)
     cls = ct.class_of_locus(n_alleles)
@@ -122,9 +133,13 @@ def _build_tables(spec: ModelSpec, data: Dataset) -> TetraTables:
         lookup=jnp.asarray(ct.lookup), self_mat=jnp.asarray(ct.self_mat),
         digits_np=ct.digits, patterns_np=patterns, n_patterns_np=n_patterns,
         n_max=ct.n_max, g_max=ct.g_max, class_loci=class_loci)
+    if not with_candidates:
+        return tab
     cand_sel, cand_cls, cand_mult = _candidate_planes(tab, data)
+    cnt_np = np.clip(np.asarray(data.n_distinct), 1, 4)
+    cand_nc = jnp.asarray(n_patterns[cnt_np].astype(np.uint8))
     return tab._replace(cand_sel=cand_sel, cand_cls=cand_cls,
-                        cand_mult=cand_mult)
+                        cand_mult=cand_mult, cand_nc=cand_nc)
 
 
 def _split4(flat):
@@ -344,13 +359,16 @@ def _update_p_tetra_fused(key, spec, data: Dataset, z, geno):
 
 
 def _update_zq_tetra_fused(key, spec, data: Dataset, freq, freq2, q, alpha,
-                           geno):
+                           geno, axis_name=None):
     """Pallas per-copy Z Gibbs + Q | Z: the diploid sampling pass per
     subgenome system (same draw z ~ Cat(q_k freq[k, l, a]) as the XLA
-    formulation below), then the Dirichlet rows kernel for Q."""
+    formulation below), then the Dirichlet rows kernel for Q.  Under loci
+    sharding the z seeds are shard-folded, the pop counts psummed, and
+    the Q draw replicated (unfolded key)."""
     from instruct_tpu.kernels import fused_step as fs
     from instruct_tpu.kernels.dirichlet_pallas import dirichlet_rows
     kz, kq = jax.random.split(key)
+    kz = up.shard_key(kz, axis_name)
     l = data.n_loci
     if spec.autopoly:
         v2 = jnp.tile(data.site_valid, (1, 2))
@@ -366,17 +384,19 @@ def _update_zq_tetra_fused(key, spec, data: Dataset, freq, freq2, q, alpha,
             geno[:, 2 * l:], data.site_valid)
         z = jnp.concatenate([z1, z2], axis=1)
         qqnum = qq1 + qq2
-    conc = (qqnum + alpha).T
+    conc = (up._psum(qqnum, axis_name) + alpha).T
     q_new = dirichlet_rows(fs.seed_words(kq), conc,
                            rows_per_group=conc.shape[0]).T
     return z, q_new
 
 
-def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
+def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno,
+                     axis_name=None):
     """Per-copy Z Gibbs + Q | Z (update_ZQ, poly_geno.c:750-836), with the
     system-correct frequency per subgenome (divergence note above).
     Inverse-CDF over the static K axis — no K-trailing tensors."""
     kz, kq = jax.random.split(key)
+    kz = up.shard_key(kz, axis_name)
     n, s4 = geno.shape
     l = data.n_loci
     k, _, a = freq.shape
@@ -411,7 +431,7 @@ def _update_zq_tetra(key, tables, spec, data, freq, freq2, q, alpha, geno):
     valid = jnp.tile(data.site_valid, (1, 4))
     cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
             for kk in range(k)]
-    qqnum = jnp.stack(cols, axis=1)
+    qqnum = up._psum(jnp.stack(cols, axis=1), axis_name)
     q_new = up.dirichlet_from_counts(kq, qqnum + alpha)
     return z.astype(jnp.int8), q_new
 
@@ -477,13 +497,19 @@ def _candidate_planes(tables: TetraTables, data: Dataset):
     return build()
 
 
-def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
+def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log,
+                 z, use_pallas=False):
     """Gibbs update of the latent ordered genotype (update_geno,
     poly_geno.c:520-580 + choose_*, 854-1215) for every site in parallel.
 
     Candidate weights:
       same-z:  log table[z0, l, class(candidate)]
       mixed-z: log_mult(candidate) + sum_slots log( sum_k q_k f_sys[k, a] )
+
+    With ``use_pallas`` the weight evaluation + Gumbel-argmax runs as one
+    VMEM-resident Pallas pass (kernels/tetra_geno_pallas.py — the round-5
+    lever named in BASELINE.md: the XLA where-chains moved ~50 GB/step of
+    plane traffic); the cheap slot reconstruction below is shared.
     """
     n = data.geno.shape[0]
     l = data.n_loci
@@ -494,6 +520,17 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
     mix1 = _mix_per_allele(freq, q)                          # A x [N, L]
     mix2 = (_mix_per_allele(freq2, q) if not spec.autopoly else mix1)
     a = freq.shape[2]
+
+    if use_pallas:
+        from instruct_tpu.kernels.fused_step import seed_words
+        from instruct_tpu.kernels.tetra_geno_pallas import geno_choice_pass
+        mix = jnp.stack(mix1 if spec.autopoly else mix1 + mix2)
+        choice = geno_choice_pass(
+            seed_words(key), geno_table_log, z, data.distinct,
+            tables.cand_nc, mix, tables.cand_sel, tables.cand_cls,
+            tables.cand_mult, n_pops=spec.n_pops,
+            autopoly=bool(spec.autopoly))
+        return _reconstruct_geno(tables, data, choice, n_cand)
 
     # number of valid candidates per site (scalar selects, not a gather)
     npat = tables.n_patterns_np
@@ -537,8 +574,15 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
         best_val = jnp.where(take, v, best_val)
         choice = jnp.where(take, c, choice)
 
-    # reconstruction: route the CHOSEN candidate's packed selectors once,
-    # then map selectors -> allele values through the distinct planes
+    return _reconstruct_geno(tables, data, choice, n_cand)
+
+
+def _reconstruct_geno(tables, data, choice, n_cand):
+    """Chosen candidate index [N, L] -> ordered genotype i8[N, 4L]: route
+    the chosen candidate's packed selectors once, then map selectors to
+    allele values through the distinct planes."""
+    n, l = choice.shape
+    dist = _split4(data.distinct)
     sel_ch = jnp.zeros((n, l), jnp.int32)
     for c in range(n_cand):
         sel_ch = jnp.where(choice == c,
@@ -557,16 +601,24 @@ def _sample_geno(key, tables, spec, data, freq, freq2, q, geno_table_log, z):
 # init + step
 # ---------------------------------------------------------------------------
 
-def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None
-                     ) -> McmcState:
+def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None,
+                     axis_name=None, tables=None) -> McmcState:
     """Initial draw (initial_geno, poly_geno.c:316-369: uniform ordering;
-    z uniform; S from file or U(0,1); alpha ~ U[0,10])."""
-    tables = build_tables(spec, data)
+    z uniform; S from file or U(0,1); alpha ~ U[0,10]).  Under loci
+    sharding (``axis_name``) the site-level draws (z, geno) are
+    shard-folded, the q counts psummed, and the replicated scalars
+    (alpha, S) use the unfolded key; ``tables`` must then be prebuilt
+    from a concrete shard-local view (the class-uniform layout makes it
+    valid for every shard)."""
+    if tables is None:
+        tables = build_tables(spec, data)
     n = data.geno.shape[0]
     l = data.n_loci
     k = spec.n_pops
     a = data.allele_valid.shape[1]
     kz, kq, kal, ks, kg = jax.random.split(key, 5)
+    kz = up.shard_key(kz, axis_name)
+    kg = up.shard_key(kg, axis_name)
 
     cnt = jnp.clip(data.n_distinct, 1, 4)
     n_cand = int(tables.n_patterns_np.max())
@@ -590,7 +642,8 @@ def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None
     cols = [jnp.where(valid & (z == kk), 1.0, 0.0).sum(axis=1)
             for kk in range(k)]
     alpha = jax.random.uniform(kal) * spec.alpha_prior_max
-    g = jax.random.gamma(kq, jnp.stack(cols, axis=1) + alpha)
+    counts = up._psum(jnp.stack(cols, axis=1), axis_name)
+    g = jax.random.gamma(kq, counts + alpha)
     q = g / jnp.maximum(g.sum(-1, keepdims=True), _EPS)
 
     if init_rates is None:
@@ -618,20 +671,53 @@ def init_tetra_state(key, spec: ModelSpec, data: Dataset, init_rates=None
     )
 
 
-def build_tetra_step(spec: ModelSpec, data: Dataset):
+def retable_candidates(tables: TetraTables, data: Dataset) -> TetraTables:
+    """Rebuild the site-dependent candidate planes (cand_sel/cls/mult/nc)
+    from ``data`` — pure jnp ops, so this works on TRACED shard-local
+    panels inside a shard_map (the class-level fields of ``tables`` are
+    shard-invariant under the class-uniform layout,
+    parallel/loci_shard.py:tetra_shard_plan)."""
+    sel, cls_p, mult = _candidate_planes(tables, data)
+    cnt = jnp.clip(data.n_distinct, 1, 4)
+    npat = tables.n_patterns_np
+    nc = jnp.full(cnt.shape, int(npat[1]), jnp.int32)
+    for v in (2, 3, 4):
+        nc = jnp.where(cnt == v, int(npat[v]), nc)
+    return tables._replace(cand_sel=sel, cand_cls=cls_p, cand_mult=mult,
+                           cand_nc=nc.astype(jnp.uint8))
+
+
+def build_tetra_step(spec: ModelSpec, data: Dataset, axis_name=None,
+                     tables=None):
     """(step_core, add_loglik) for one tetraploid sweep (the step body of
     mcmc_POP_tetra_selfing, poly_geno.c:98-136): P (+P2), exfreq, S, ZQ,
     geno; the likelihood pass (cal_lkd, poly_geno.c:715) is split out so
     the chain driver evaluates it only on stored/reported steps — the same
     deferral the diploid engine gets from build_step_parts (at the default
-    thinning of 10 this removes ~90% of the cal_lkd passes)."""
+    thinning of 10 this removes ~90% of the cal_lkd passes).
+
+    Loci sharding (``axis_name`` + prebuilt ``tables``): the panel is the
+    device-local class-uniform block; site draws (P, z, geno) are
+    shard-local with shard-folded keys, and the only collectives are the
+    psums of the per-individual pop counts [N, K], the per-pop S MH
+    log-ratio [K], and the per-individual log-liks [N] — the same
+    auditable set as the diploid path (parallel/loci_shard.py)."""
     if data.distinct is None:
         raise ValueError("tetraploid step needs Dataset.distinct / "
                          "n_distinct (load with ploid=4)")
-    tables = build_tables(spec, data)
+    if tables is None:
+        tables = build_tables(spec, data)
+    elif tables.cand_sel is None or axis_name is not None:
+        # runtime-argument panel (the driver's path — the panel must not
+        # become a compiled-in constant) or a shard-local traced view:
+        # rebuild the site-dependent candidate planes in-trace
+        tables = retable_candidates(tables, data)
     l = data.n_loci
     fused = _tetra_use_pallas(spec, data)
     p_update = _update_p_tetra_fused if fused else _update_p_tetra
+    # Pallas genotype move: the [K*G, bl] table block must fit one VMEM
+    # tile comfortably (K*G rows of f32 lanes)
+    fused_geno = fused and spec.n_pops * tables.g_max <= 1024
 
     def add_loglik(state: McmcState) -> McmcState:
         # the genotype-class table is a pure function of (freq, freq2, S):
@@ -641,11 +727,13 @@ def build_tetra_step(spec: ModelSpec, data: Dataset):
         table = selfing_equilibrium(tables, log_hwe, state.rates)
         site = _site_loglik(tables, spec, data, state.freq, state.freq2,
                             state.z, state.geno, table)
-        indv = site.sum(axis=1)
+        indv = up._psum(site.sum(axis=1), axis_name)
         return state._replace(loglik_indv=indv, loglik_total=indv.sum())
 
     def step(state: McmcState, key) -> McmcState:
         kp, ks, kz, kg, ka = jax.random.split(key, 5)
+        # P draws are per-locus local; S/alpha/Q draws must be replicated
+        kp = up.shard_key(kp, axis_name)
 
         freq, freq2 = p_update(kp, spec, data, state.z, state.geno)
         if freq2 is None:
@@ -655,48 +743,67 @@ def build_tetra_step(spec: ModelSpec, data: Dataset):
         log_hwe = log_hwe_table(tables, spec, freq, freq2)
 
         # --- S update: per-pop MH with full-table rebuild --------------
-        kprop = jax.random.fold_in(ks, 17)
-        if spec.back_refl == 1:
-            prop = up.propose_back_reflection(kprop, state.rates,
-                                              spec.mh_step_s)
-            prop_states = state.ais_state
-            log_hast = jnp.zeros_like(state.rates)
-        else:
-            prop, prop_states, log_hast = \
-                up.propose_adaptive_independence(kprop, state.rates,
-                                                 state.ais_state)
-        tab_cur = selfing_equilibrium(tables, log_hwe, state.rates)
-        tab_prop = selfing_equilibrium(tables, log_hwe, prop)
+        # spec.s_subsweeps > 1 runs extra inner MH sweeps: each costs one
+        # batched equilibrium solve + one class-table site lookup (cheap
+        # next to the genotype move), and the honest per-chain ESS showed
+        # the single-sweep S chain at tau ~ 30 (round 5) — the same lever
+        # as the diploid path.  1 reproduces the reference's schedule
+        # (update_S_POP once per step, poly_geno.c:98-136).
         cls_idx = _site_class(tables, data, state.geno)
         zc = _split4(state.z)
         same_z = (zc[0] == zc[1]) & (zc[1] == zc[2]) & (zc[2] == zc[3])
+        s_mask = same_z & data.site_valid
+        tab_cur = selfing_equilibrium(tables, log_hwe, state.rates)
         ll_cur = _table_at(tab_cur, zc[0], cls_idx)
-        ll_prop = _table_at(tab_prop, zc[0], cls_idx)
-        diff = jnp.where(same_z & data.site_valid, ll_prop - ll_cur, 0.0)
-        delta = jnp.stack([jnp.where(zc[0] == kk, diff, 0.0).sum()
-                           for kk in range(spec.n_pops)])
-        u = jax.random.uniform(ks, (spec.n_pops,), minval=_EPS)
-        accept = jnp.log(u) < delta + log_hast
-        rates = jnp.where(accept, prop, state.rates)
-        ais = jnp.where(accept, prop_states, state.ais_state)
+        rates = state.rates
+        ais = state.ais_state
+        for j in range(max(1, spec.s_subsweeps)):
+            ksj = jax.random.fold_in(ks, j)
+            kacc, kprop = jax.random.split(ksj)
+            if spec.back_refl == 1:
+                prop = up.propose_back_reflection(kprop, rates,
+                                                  spec.mh_step_s)
+                prop_states = ais
+                log_hast = jnp.zeros_like(rates)
+            else:
+                prop, prop_states, log_hast = \
+                    up.propose_adaptive_independence(kprop, rates, ais)
+            tab_prop = selfing_equilibrium(tables, log_hwe, prop)
+            ll_prop = _table_at(tab_prop, zc[0], cls_idx)
+            diff = jnp.where(s_mask, ll_prop - ll_cur, 0.0)
+            delta = up._psum(
+                jnp.stack([jnp.where(zc[0] == kk, diff, 0.0).sum()
+                           for kk in range(spec.n_pops)]), axis_name)
+            u = jax.random.uniform(kacc, (spec.n_pops,), minval=_EPS)
+            accept = jnp.log(u) < delta + log_hast
+            rates = jnp.where(accept, prop, rates)
+            ais = jnp.where(accept, prop_states, ais)
+            # the accepted table/site values are per-pop selects of the
+            # two already-solved tables — no third equilibrium solve (the
+            # reference re-solves via move_genofreq, poly_geno.c:737)
+            tab_cur = jnp.where(accept[:, None, None], tab_prop, tab_cur)
+            acc_site = jnp.zeros(ll_cur.shape, jnp.bool_)
+            for kk in range(spec.n_pops):
+                acc_site = acc_site | ((zc[0] == kk) & accept[kk])
+            ll_cur = jnp.where(acc_site, ll_prop, ll_cur)
         state = state._replace(rates=rates, ais_state=ais)
-        # the accepted table is a per-pop select of the two already-solved
-        # tables — no third equilibrium solve (the reference re-solves via
-        # move_genofreq's copy, poly_geno.c:737)
-        geno_table = jnp.where(accept[:, None, None], tab_prop, tab_cur)
+        geno_table = tab_cur
 
         # --- Z, Q ------------------------------------------------------
         if fused:
             z, q = _update_zq_tetra_fused(kz, spec, data, freq, freq2,
-                                          state.q, state.alpha, state.geno)
+                                          state.q, state.alpha,
+                                          state.geno, axis_name)
         else:
             z, q = _update_zq_tetra(kz, tables, spec, data, freq, freq2,
-                                    state.q, state.alpha, state.geno)
+                                    state.q, state.alpha, state.geno,
+                                    axis_name)
         state = state._replace(z=z, q=q)
 
-        # --- latent genotype ordering ---------------------------------
-        geno = _sample_geno(kg, tables, spec, data, freq, freq2, q,
-                            geno_table, z)
+        # --- latent genotype ordering (site-local; shard-folded key) ---
+        geno = _sample_geno(up.shard_key(kg, axis_name), tables, spec,
+                            data, freq, freq2, q, geno_table, z,
+                            use_pallas=fused_geno)
         state = state._replace(geno=geno)
 
         # --- alpha ----------------------------------------------------

@@ -1,0 +1,108 @@
+"""Loci sharding of the tetraploid engine (VERDICT r4 missing #2).
+
+The class-uniform layout (loci_shard.tetra_shard_plan) gives every shard
+an identical per-allele-count class structure, so one shard_map program
+serves all shards; the collective set is the same psum triple as the
+diploid path (pop counts, S MH columns, per-individual log-liks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instruct_tpu.config import ModelSpec, Schedule
+from instruct_tpu.data.synthetic import synthetic_tetra_panel
+from instruct_tpu.mcmc.driver import run_mcmc
+from instruct_tpu.parallel import loci_shard as ls
+from instruct_tpu.parallel.mesh import make_mesh
+from instruct_tpu.tetra import engine as eng
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+def test_tetra_shard_plan_class_uniform():
+    """Every shard's local class layout (per-column allele count) is
+    identical, and every real locus appears exactly once."""
+    panel = synthetic_tetra_panel(n_indv=6, n_loci=23, n_pops=2,
+                                  n_alleles=4, seed=2)
+    # mixed allele counts: panel loci may be monomorphic/bi/tri/quad
+    src = ls.tetra_shard_plan(panel.data, 4)
+    n_all = np.asarray(panel.data.allele_valid).sum(-1)
+    counts = np.where(src >= 0, n_all[np.maximum(src, 0)], -1)
+    # padding slots inherit the class count in the stacked panel; here
+    # check the real slots' class sequence matches across shards wherever
+    # both shards have real loci, via the stacked allele_valid
+    stacked = ls.stack_loci_tetra(panel.data, 4)
+    av = np.asarray(stacked.allele_valid).sum(-1)            # [S, L_loc]
+    for s in range(1, 4):
+        np.testing.assert_array_equal(av[s], av[0])
+    real = src[src >= 0]
+    assert sorted(real.tolist()) == list(range(panel.data.n_loci))
+    assert counts.shape == src.shape
+
+
+@needs_8
+def test_tetra_sharded_loglik_exact():
+    """The psummed per-individual log-lik leaving the sharded tetra run
+    equals the per-shard recomputation from the reassembled final state —
+    verifies collective placement and the class-uniform blocked layout."""
+    panel = synthetic_tetra_panel(n_indv=8, n_loci=15, n_pops=2,
+                                  n_alleles=2, seed=5)
+    spec = ModelSpec(mode=2, ploid=4, n_pops=2)
+    sched = Schedule(n_iter=10, burnin=4, thinning=2, n_chains=2, ckrep=2,
+                     nstep_check_empty_cluster=2)
+    n_ds = 4
+    mesh = make_mesh(2, n_ds)
+    res = run_mcmc(panel.data, spec, sched, jax.random.key(3), mesh=mesh)
+
+    stacked = ls.stack_loci_tetra(panel.data, n_ds)
+    tables = eng.build_tables(spec, ls.local_view(stacked))
+    ll_loc = stacked.site_valid.shape[-1]
+    st = res.final_state
+    c = np.asarray(st.loglik_indv).shape[0]
+    want = np.zeros((c, panel.data.n_indv))
+    for ci in range(c):
+        for s in range(n_ds):
+            local = jax.tree.map(lambda x: x[s], stacked)
+            freq = jnp.asarray(st.freq)[ci, :, s * ll_loc:(s + 1) * ll_loc]
+            freq2 = jnp.asarray(st.freq2)[ci, :,
+                                          s * ll_loc:(s + 1) * ll_loc]
+            z = jnp.asarray(st.z)[ci][:, s * 4 * ll_loc:(s + 1) * 4 * ll_loc]
+            geno = jnp.asarray(st.geno)[ci][:,
+                                            s * 4 * ll_loc:(s + 1) * 4 * ll_loc]
+            rates = jnp.asarray(st.rates)[ci]
+            log_hwe = eng.log_hwe_table(tables, spec, freq, freq2)
+            table = eng.selfing_equilibrium(tables, log_hwe, rates)
+            site = eng._site_loglik(tables, spec, local, freq, freq2, z,
+                                    geno, table)
+            want[ci] += np.asarray(site.sum(axis=1))
+    np.testing.assert_allclose(np.asarray(st.loglik_indv), want,
+                               rtol=2e-5, atol=2e-5)
+
+
+@needs_8
+def test_tetra_sharded_posterior_parity():
+    """Sharded trajectories differ by design (shard-folded site PRNG);
+    posterior S / log-lik moments must agree with the unsharded run, and
+    the sharded WAIC must be finite (model choice works sharded)."""
+    panel = synthetic_tetra_panel(n_indv=30, n_loci=24, n_pops=2,
+                                  n_alleles=2,
+                                  selfing_rates=np.array([0.2, 0.7]),
+                                  seed=9)
+    spec = ModelSpec(mode=2, ploid=4, n_pops=2)
+    sched = Schedule(n_iter=600, burnin=200, thinning=2, n_chains=2,
+                     ckrep=10, nstep_check_empty_cluster=10, dic_every=5)
+    key = jax.random.key(1)
+    ref = run_mcmc(panel.data, spec, sched, key, track_freq=True)
+    got = run_mcmc(panel.data, spec, sched, key, track_freq=True,
+                   mesh=make_mesh(2, 4))
+    s_ref = np.sort(np.asarray(ref.accum.mean.rates), axis=-1)
+    s_got = np.sort(np.asarray(got.accum.mean.rates), axis=-1)
+    np.testing.assert_allclose(s_got.mean(0), s_ref.mean(0), atol=0.12)
+    ll_ref = np.asarray(ref.accum.mean.total_ll).mean()
+    ll_got = np.asarray(got.accum.mean.total_ll).mean()
+    assert abs(ll_got - ll_ref) / abs(ll_ref) < 0.02
+    w_ref, w_got = ref.waic(), got.waic()
+    assert w_got is not None and np.isfinite(w_got).all()
+    assert abs(w_got.mean() - w_ref.mean()) / abs(w_ref.mean()) < 0.05
