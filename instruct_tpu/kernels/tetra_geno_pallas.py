@@ -119,6 +119,108 @@ def _geno_kernel(seed_ref, table_ref, z0r, z1r, z2r, z3r, d0r, d1r, d2r,
     choice_ref[:] = choice
 
 
+def _s_delta_kernel(tab_cur, tab_prop, lookup_ref, z0r, z1r, z2r, z3r,
+                    g0r, g1r, g2r, g3r, vr, out_ref, *, n_pops, g_max,
+                    n_lookup, n_max):
+    i = pl.program_id(1)                     # N-block axis (minor)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    z0 = z0r[:].astype(jnp.int32)
+    z1 = z1r[:].astype(jnp.int32)
+    z2 = z2r[:].astype(jnp.int32)
+    z3 = z3r[:].astype(jnp.int32)
+    same = ((z0 - z1) == 0) & ((z1 - z2) == 0) & ((z2 - z3) == 0)
+    valid = vr[:] != 0
+    g0 = g0r[:].astype(jnp.int32)
+    g1 = g1r[:].astype(jnp.int32)
+    g2 = g2r[:].astype(jnp.int32)
+    g3 = g3r[:].astype(jnp.int32)
+    packed = ((g0 * n_max + g1) * n_max + g2) * n_max + g3
+
+    # genotype-class index: V-way select into the per-locus lookup rows
+    cls = jnp.broadcast_to(lookup_ref[0, :][None, :].astype(jnp.int32),
+                           z0.shape)
+    for v in range(1, n_lookup):
+        cls = jnp.where(packed == v,
+                        lookup_ref[v, :][None, :].astype(jnp.int32), cls)
+
+    # g-major diff: one pair of K-way z0-selects per class
+    dsite = jnp.zeros(z0.shape, jnp.float32)
+    for g in range(g_max):
+        tc = tab_cur[g, :][None, :]
+        tp = tab_prop[g, :][None, :]
+        for k in range(1, n_pops):
+            tc = jnp.where(z0 == k, tab_cur[k * g_max + g, :][None, :], tc)
+            tp = jnp.where(z0 == k, tab_prop[k * g_max + g, :][None, :],
+                           tp)
+        dsite = jnp.where(cls == g, tp - tc, dsite)
+
+    dm = jnp.where(same & valid, dsite, 0.0)
+    for k in range(n_pops):
+        m = (z0 == k).astype(jnp.float32)
+        out_ref[k:k + 1, :] += (dm * m).sum(axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def s_delta_pass(tab_cur, tab_prop, lookup_l, z, geno, site_valid, *,
+                 interpret=False):
+    """delta f32[K]: the per-pop S MH log-ratio columns
+    sum_{sites: same-z, valid, z0==k} [tab_prop - tab_cur](z0, l, cls)
+    in ONE read of the site planes (replaces _site_class + two
+    _table_at select passes + the masked stack-sums of the tetraploid
+    S update — ~7 ms of isolated XLA passes at 500x5k A=4).
+
+    tab_* f32[K, L, G]; lookup_l i32[L, V] = lookup[cls_of_locus] (the
+    packed-code -> class map per locus); z/geno i8/i32[N, 4L] copy-major.
+    """
+    k, l, g_max = tab_cur.shape
+    n = site_valid.shape[0]
+    v = lookup_l.shape[1]
+    bn = min(256, max(8, n))
+    bl = min(512, -(-l // 128) * 128)
+    np_, lp = n + (-n % bn), l + (-l % bl)
+    grid = (lp // bl, np_ // bn)            # N minor: accumulation
+
+    def rows(t):
+        return jnp.pad(jnp.transpose(t, (0, 2, 1)).reshape(k * g_max, l),
+                       ((0, 0), (0, lp - l)))
+
+    def pad2(x):
+        return jnp.pad(x, ((0, np_ - x.shape[0]), (0, lp - x.shape[1])))
+
+    zc = [pad2(z[:, m * l:(m + 1) * l]) for m in range(4)]
+    gc = [pad2(geno[:, m * l:(m + 1) * l].astype(jnp.int8))
+          for m in range(4)]
+    lookup_rows = jnp.pad(lookup_l.T.astype(jnp.int16),
+                          ((0, 0), (0, lp - l)))              # [V, Lp]
+    # n_max from V = n_max^4
+    n_max = round(v ** 0.25)
+
+    site_blk = pl.BlockSpec((bn, bl), lambda j, i: (i, j),
+                            memory_space=pltpu.VMEM)
+    tab_blk = pl.BlockSpec((k * g_max, bl), lambda j, i: (0, j),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_s_delta_kernel, n_pops=k, g_max=g_max,
+                          n_lookup=v, n_max=n_max),
+        grid=grid,
+        in_specs=[tab_blk, tab_blk,
+                  pl.BlockSpec((v, bl), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM)]
+        + [site_blk] * 8
+        + [site_blk],
+        out_specs=pl.BlockSpec((k, bl), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, lp), jnp.float32),
+        interpret=interpret,
+    )(rows(tab_cur), rows(tab_prop), lookup_rows, *zc, *gc,
+      pad2(site_valid.astype(jnp.int8)))
+    return out.sum(axis=1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_pops", "autopoly", "interpret"))
 def geno_choice_pass(seed, table, z, dist, nc, mix, cand_sel, cand_cls,

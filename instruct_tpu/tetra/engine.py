@@ -749,17 +749,16 @@ def build_tetra_step(spec: ModelSpec, data: Dataset, axis_name=None,
         # the single-sweep S chain at tau ~ 30 (round 5) — the same lever
         # as the diploid path.  1 reproduces the reference's schedule
         # (update_S_POP once per step, poly_geno.c:98-136).
-        cls_idx = _site_class(tables, data, state.geno)
-        zc = _split4(state.z)
-        same_z = (zc[0] == zc[1]) & (zc[1] == zc[2]) & (zc[2] == zc[3])
-        s_mask = same_z & data.site_valid
         tab_cur = selfing_equilibrium(tables, log_hwe, state.rates)
-        ll_cur = _table_at(tab_cur, zc[0], cls_idx)
         rates = state.rates
         ais = state.ais_state
-        for j in range(max(1, spec.s_subsweeps)):
-            ksj = jax.random.fold_in(ks, j)
-            kacc, kprop = jax.random.split(ksj)
+        if fused_geno and max(1, spec.s_subsweeps) == 1:
+            # single-sweep fast path: the per-pop MH log-ratio comes out
+            # of one Pallas site pass (kernels/tetra_geno_pallas.py:
+            # s_delta_pass) instead of the _site_class + 2x _table_at
+            # select chains
+            from instruct_tpu.kernels.tetra_geno_pallas import s_delta_pass
+            kacc, kprop = jax.random.split(jax.random.fold_in(ks, 0))
             if spec.back_refl == 1:
                 prop = up.propose_back_reflection(kprop, rates,
                                                   spec.mh_step_s)
@@ -769,23 +768,53 @@ def build_tetra_step(spec: ModelSpec, data: Dataset, axis_name=None,
                 prop, prop_states, log_hast = \
                     up.propose_adaptive_independence(kprop, rates, ais)
             tab_prop = selfing_equilibrium(tables, log_hwe, prop)
-            ll_prop = _table_at(tab_prop, zc[0], cls_idx)
-            diff = jnp.where(s_mask, ll_prop - ll_cur, 0.0)
+            lookup_l = tables.lookup[tables.cls]             # [L, V]
             delta = up._psum(
-                jnp.stack([jnp.where(zc[0] == kk, diff, 0.0).sum()
-                           for kk in range(spec.n_pops)]), axis_name)
+                s_delta_pass(tab_cur, tab_prop, lookup_l, state.z,
+                             state.geno, data.site_valid), axis_name)
             u = jax.random.uniform(kacc, (spec.n_pops,), minval=_EPS)
             accept = jnp.log(u) < delta + log_hast
             rates = jnp.where(accept, prop, rates)
             ais = jnp.where(accept, prop_states, ais)
-            # the accepted table/site values are per-pop selects of the
-            # two already-solved tables — no third equilibrium solve (the
-            # reference re-solves via move_genofreq, poly_geno.c:737)
             tab_cur = jnp.where(accept[:, None, None], tab_prop, tab_cur)
-            acc_site = jnp.zeros(ll_cur.shape, jnp.bool_)
-            for kk in range(spec.n_pops):
-                acc_site = acc_site | ((zc[0] == kk) & accept[kk])
-            ll_cur = jnp.where(acc_site, ll_prop, ll_cur)
+        else:
+            cls_idx = _site_class(tables, data, state.geno)
+            zc = _split4(state.z)
+            same_z = ((zc[0] == zc[1]) & (zc[1] == zc[2])
+                      & (zc[2] == zc[3]))
+            s_mask = same_z & data.site_valid
+            ll_cur = _table_at(tab_cur, zc[0], cls_idx)
+            for j in range(max(1, spec.s_subsweeps)):
+                ksj = jax.random.fold_in(ks, j)
+                kacc, kprop = jax.random.split(ksj)
+                if spec.back_refl == 1:
+                    prop = up.propose_back_reflection(kprop, rates,
+                                                      spec.mh_step_s)
+                    prop_states = ais
+                    log_hast = jnp.zeros_like(rates)
+                else:
+                    prop, prop_states, log_hast = \
+                        up.propose_adaptive_independence(kprop, rates, ais)
+                tab_prop = selfing_equilibrium(tables, log_hwe, prop)
+                ll_prop = _table_at(tab_prop, zc[0], cls_idx)
+                diff = jnp.where(s_mask, ll_prop - ll_cur, 0.0)
+                delta = up._psum(
+                    jnp.stack([jnp.where(zc[0] == kk, diff, 0.0).sum()
+                               for kk in range(spec.n_pops)]), axis_name)
+                u = jax.random.uniform(kacc, (spec.n_pops,), minval=_EPS)
+                accept = jnp.log(u) < delta + log_hast
+                rates = jnp.where(accept, prop, rates)
+                ais = jnp.where(accept, prop_states, ais)
+                # the accepted table/site values are per-pop selects of
+                # the two already-solved tables — no third equilibrium
+                # solve (the reference re-solves via move_genofreq,
+                # poly_geno.c:737)
+                tab_cur = jnp.where(accept[:, None, None], tab_prop,
+                                    tab_cur)
+                acc_site = jnp.zeros(ll_cur.shape, jnp.bool_)
+                for kk in range(spec.n_pops):
+                    acc_site = acc_site | ((zc[0] == kk) & accept[kk])
+                ll_cur = jnp.where(acc_site, ll_prop, ll_cur)
         state = state._replace(rates=rates, ais_state=ais)
         geno_table = tab_cur
 

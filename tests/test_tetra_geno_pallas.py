@@ -119,3 +119,55 @@ def test_reconstruct_matches_candidate_slots():
         want_slots.append(vm)
     want = jnp.concatenate(want_slots, axis=1).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("autopoly,n_alleles", [(True, 4), (False, 2),
+                                                (False, 4)])
+def test_s_delta_pass_matches_xla(autopoly, n_alleles):
+    """The one-pass S MH log-ratio kernel equals the XLA formulation
+    (_site_class + _table_at pair + masked per-pop sums) bit-for-bit up
+    to f32 reduction order."""
+    from instruct_tpu.kernels.tetra_geno_pallas import s_delta_pass
+
+    panel = synthetic_tetra_panel(n_indv=10, n_loci=19, n_pops=3,
+                                  n_alleles=n_alleles, autopoly=autopoly,
+                                  seed=7)
+    data = panel.data
+    spec = ModelSpec(mode=2, ploid=4, n_pops=3, autopoly=autopoly)
+    tables = eng.build_tables(spec, data)
+    l, k = data.n_loci, 3
+    key = jax.random.key(4)
+    kf, kf2, kz, ks1, ks2, kg = jax.random.split(key, 6)
+    a = data.max_alleles
+    freq = jax.random.dirichlet(kf, jnp.ones(a), (k, l)).astype(
+        jnp.float32)
+    freq2 = jax.random.dirichlet(kf2, jnp.ones(a), (k, l)).astype(
+        jnp.float32)
+    z = jax.random.randint(kz, (10, 4 * l), 0, k, dtype=jnp.int8)
+    z = z.at[:5].set(jnp.tile(z[:5, :l], (1, 4)).astype(jnp.int8))
+    # a valid latent ordered genotype (orderings of the observed sets)
+    n_cand = int(tables.n_patterns_np.max())
+    choice = jnp.zeros((10, l), jnp.int32)
+    geno = eng._reconstruct_geno(tables, data, choice, n_cand)
+    log_hwe = eng.log_hwe_table(tables, spec, freq, freq2)
+    tab_cur = eng.selfing_equilibrium(
+        tables, log_hwe, jax.random.uniform(ks1, (k,), minval=0.1,
+                                            maxval=0.9))
+    tab_prop = eng.selfing_equilibrium(
+        tables, log_hwe, jax.random.uniform(ks2, (k,), minval=0.1,
+                                            maxval=0.9))
+
+    lookup_l = tables.lookup[tables.cls]
+    got = s_delta_pass(tab_cur, tab_prop, lookup_l, z, geno,
+                       data.site_valid, interpret=True)
+
+    cls_idx = eng._site_class(tables, data, geno)
+    zc = eng._split4(z)
+    same = (zc[0] == zc[1]) & (zc[1] == zc[2]) & (zc[2] == zc[3])
+    diff = jnp.where(same & data.site_valid,
+                     eng._table_at(tab_prop, zc[0], cls_idx)
+                     - eng._table_at(tab_cur, zc[0], cls_idx), 0.0)
+    want = jnp.stack([jnp.where(zc[0] == kk, diff, 0.0).sum()
+                      for kk in range(k)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)

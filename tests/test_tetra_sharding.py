@@ -106,3 +106,37 @@ def test_tetra_sharded_posterior_parity():
     w_ref, w_got = ref.waic(), got.waic()
     assert w_got is not None and np.isfinite(w_got).all()
     assert abs(w_got.mean() - w_ref.mean()) / abs(w_ref.mean()) < 0.05
+
+
+@needs_8
+def test_tetra_sharded_checkpoint_resume(tmp_path):
+    """Segmented + checkpointed sharded tetra run equals the single-shot
+    sharded run bitwise (counter-based keys; blocked z/geno layout round-
+    trips through orbax)."""
+    import os
+    import shutil
+
+    panel = synthetic_tetra_panel(n_indv=6, n_loci=9, n_pops=2,
+                                  n_alleles=2, seed=6)
+    spec = ModelSpec(mode=2, ploid=4, n_pops=2)
+    sched = Schedule(n_iter=20, burnin=6, thinning=2, n_chains=2, ckrep=2,
+                     nstep_check_empty_cluster=2)
+    key = jax.random.key(5)
+    mesh = make_mesh(2, 4)
+    ref = run_mcmc(panel.data, spec, sched, key, mesh=mesh)
+    ck = str(tmp_path / "ck")
+    run_mcmc(panel.data, spec, sched, key, mesh=mesh, checkpoint_dir=ck,
+             checkpoint_every=8)
+    for name in os.listdir(ck):
+        step = int(name[5:17]) if name.startswith("step_") else 0
+        if step > 8:
+            p = os.path.join(ck, name)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    got = run_mcmc(panel.data, spec, sched, key, mesh=mesh,
+                   checkpoint_dir=ck, checkpoint_every=8)
+    np.testing.assert_allclose(np.asarray(got.accum.mean.total_ll),
+                               np.asarray(ref.accum.mean.total_ll),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.accum.mean.rates),
+                               np.asarray(ref.accum.mean.rates),
+                               atol=1e-5)
