@@ -221,6 +221,120 @@ def s_delta_pass(tab_cur, tab_prop, lookup_l, z, geno, site_valid, *,
     return out.sum(axis=1)
 
 
+def _site_ll_kernel(tab_ref, lookup_ref, lm_ref, f1_ref, f2_ref, z0r, z1r,
+                    z2r, z3r, g0r, g1r, g2r, g3r, vr, ll_ref, *, n_pops,
+                    g_max, n_lookup, n_max, n_alleles, autopoly):
+    j = pl.program_id(1)                     # L-block axis (minor)
+
+    @pl.when(j == 0)
+    def _init():
+        ll_ref[:] = jnp.zeros_like(ll_ref)
+
+    zc = [z0r[:].astype(jnp.int32), z1r[:].astype(jnp.int32),
+          z2r[:].astype(jnp.int32), z3r[:].astype(jnp.int32)]
+    same = (((zc[0] - zc[1]) == 0) & ((zc[1] - zc[2]) == 0)
+            & ((zc[2] - zc[3]) == 0))
+    valid = vr[:] != 0
+    gc = [g0r[:].astype(jnp.int32), g1r[:].astype(jnp.int32),
+          g2r[:].astype(jnp.int32), g3r[:].astype(jnp.int32)]
+    packed = (((gc[0] * n_max + gc[1]) * n_max + gc[2]) * n_max + gc[3])
+
+    cls = jnp.broadcast_to(lookup_ref[0, :][None, :].astype(jnp.int32),
+                           packed.shape)
+    for v in range(1, n_lookup):
+        cls = jnp.where(packed == v,
+                        lookup_ref[v, :][None, :].astype(jnp.int32), cls)
+
+    # same-z branch: table[z0, l, cls] + mixed-z multiplicity, g-major
+    ll_same = jnp.zeros(packed.shape, jnp.float32)
+    lmult = jnp.zeros(packed.shape, jnp.float32)
+    for g in range(g_max):
+        t = tab_ref[g, :][None, :]
+        for k in range(1, n_pops):
+            t = jnp.where(zc[0] == k, tab_ref[k * g_max + g, :][None, :],
+                          t)
+        ll_same = jnp.where(cls == g, t, ll_same)
+        lmult = jnp.where(cls == g, lm_ref[g, :][None, :], lmult)
+
+    # mixed-z branch: log mult + sum_slots log freq_sys[z_m, l, a_m]
+    a = n_alleles
+    ll_mix = lmult
+    for m in range(4):
+        fref = f1_ref if (autopoly or m < 2) else f2_ref
+        w = fref[0, :][None, :] * jnp.ones(packed.shape, jnp.float32)
+        for k in range(n_pops):
+            for ai in range(a):
+                if k == 0 and ai == 0:
+                    continue
+                sel = ((zc[m] - k) == 0) & ((gc[m] - ai) == 0)
+                w = jnp.where(sel, fref[k * a + ai, :][None, :], w)
+        ll_mix = ll_mix + jnp.log(jnp.maximum(w, _EPS))
+
+    site = jnp.where(same, ll_same, ll_mix)
+    vf = valid.astype(jnp.float32)
+    ll_ref[:, 0] += (site * vf).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("autopoly", "interpret"))
+def site_ll_pass(table, lookup_l, log_mult_l, freq, freq2, z, geno,
+                 site_valid, *, autopoly, interpret=False):
+    """Per-individual tetraploid log-lik f32[N] in ONE read of the site
+    planes — the cal_lkd pass (engine._site_loglik summed over loci):
+    same-z sites read the genotype-class table at (z0, l, cls), mixed-z
+    sites sum per-slot log frequencies plus the ordering multiplicity.
+    Replaces ~4 ms of XLA select chains per stored-step/WAIC evaluation.
+
+    table f32[K, L, G]; lookup_l i32[L, V]; log_mult_l f32[L, G]
+    (= log_mult[cls_of_locus]); freq/freq2 f32[K, L, A]."""
+    k, l, g_max = table.shape
+    a = freq.shape[2]
+    n = site_valid.shape[0]
+    v = lookup_l.shape[1]
+    bn = min(128, max(8, n))
+    bl = min(512, -(-l // 128) * 128)
+    np_, lp = n + (-n % bn), l + (-l % bl)
+    grid = (np_ // bn, lp // bl)            # L minor: accumulation
+
+    def pad2(x):
+        return jnp.pad(x, ((0, np_ - x.shape[0]), (0, lp - x.shape[1])))
+
+    def rows(t):
+        r = jnp.transpose(t, (0, 2, 1)).reshape(-1, l)
+        return jnp.pad(r, ((0, 0), (0, lp - l)))
+
+    zc = [pad2(z[:, m * l:(m + 1) * l]) for m in range(4)]
+    gc = [pad2(geno[:, m * l:(m + 1) * l].astype(jnp.int8))
+          for m in range(4)]
+    lookup_rows = jnp.pad(lookup_l.T.astype(jnp.int16),
+                          ((0, 0), (0, lp - l)))
+    lm_rows = jnp.pad(log_mult_l.T, ((0, 0), (0, lp - l)))
+    n_max = round(v ** 0.25)
+
+    site_blk = pl.BlockSpec((bn, bl), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    def col_blk(r):
+        return pl.BlockSpec((r, bl), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_site_ll_kernel, n_pops=k, g_max=g_max,
+                          n_lookup=v, n_max=n_max, n_alleles=a,
+                          autopoly=autopoly),
+        grid=grid,
+        in_specs=[col_blk(k * g_max), col_blk(v), col_blk(g_max),
+                  col_blk(k * a), col_blk(k * a)]
+        + [site_blk] * 9,
+        out_specs=pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+        interpret=interpret,
+    )(rows(table), lookup_rows, lm_rows, rows(freq),
+      rows(freq2 if freq2 is not None else freq), *zc, *gc,
+      pad2(site_valid.astype(jnp.int8)))
+    return out[:n, 0]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_pops", "autopoly", "interpret"))
 def geno_choice_pass(seed, table, z, dist, nc, mix, cand_sel, cand_cls,

@@ -502,18 +502,20 @@ def build_marg_loglik(spec: ModelSpec, data: Dataset, axis_name=None,
     mean), so the extra site pass costs ~nothing at the default
     thinning."""
     if spec.ploid == 4:
-        from instruct_tpu.tetra.engine import (_site_loglik, build_tables,
+        from instruct_tpu.tetra.engine import (build_tables,
                                                log_hwe_table,
-                                               selfing_equilibrium)
+                                               selfing_equilibrium,
+                                               site_indv_loglik)
         tables = (tetra_tables if tetra_tables is not None
                   else build_tables(spec, data, with_candidates=False))
 
         def add_marg(state: McmcState) -> McmcState:
             log_hwe = log_hwe_table(tables, spec, state.freq, state.freq2)
             table = selfing_equilibrium(tables, log_hwe, state.rates)
-            site = _site_loglik(tables, spec, data, state.freq,
-                                state.freq2, state.z, state.geno, table)
-            indv = up._psum(site.sum(axis=1), axis_name)
+            indv = up._psum(
+                site_indv_loglik(tables, spec, data, state.freq,
+                                 state.freq2, state.z, state.geno,
+                                 table), axis_name)
             return state._replace(loglik_marg=indv)
         return add_marg
 

@@ -260,6 +260,23 @@ def _log_mult_at(tables, cls_idx):
     return _select_or_gather(tables.log_mult[tables.cls], cls_idx)
 
 
+def site_indv_loglik(tables, spec: ModelSpec, data: Dataset, freq, freq2,
+                     z, geno, geno_table_log):
+    """Per-individual conditional log-lik f32[N] (cal_lkd summed over
+    loci) — one Pallas site pass on TPU (kernels/tetra_geno_pallas.py:
+    site_ll_pass, ~4 ms -> sub-ms at 500x5k), the XLA select-chain
+    formulation elsewhere.  Callers psum over loci shards."""
+    if (_tetra_use_pallas(spec, data)
+            and spec.n_pops * tables.g_max <= 1024):
+        from instruct_tpu.kernels.tetra_geno_pallas import site_ll_pass
+        return site_ll_pass(geno_table_log, tables.lookup[tables.cls],
+                            tables.log_mult[tables.cls], freq, freq2, z,
+                            geno, data.site_valid,
+                            autopoly=bool(spec.autopoly))
+    return _site_loglik(tables, spec, data, freq, freq2, z, geno,
+                        geno_table_log).sum(axis=1)
+
+
 def _site_loglik(tables, spec, data, freq, freq2, z, geno, geno_table_log):
     """Per-site log-lik f32[N, L] (cal_lkd via calc_genofq,
     poly_geno.c:715-735, 1235-1286)."""
@@ -725,9 +742,9 @@ def build_tetra_step(spec: ModelSpec, data: Dataset, axis_name=None,
         # cheap next to the [N, L] site pass it feeds
         log_hwe = log_hwe_table(tables, spec, state.freq, state.freq2)
         table = selfing_equilibrium(tables, log_hwe, state.rates)
-        site = _site_loglik(tables, spec, data, state.freq, state.freq2,
-                            state.z, state.geno, table)
-        indv = up._psum(site.sum(axis=1), axis_name)
+        indv = up._psum(
+            site_indv_loglik(tables, spec, data, state.freq, state.freq2,
+                             state.z, state.geno, table), axis_name)
         return state._replace(loglik_indv=indv, loglik_total=indv.sum())
 
     def step(state: McmcState, key) -> McmcState:

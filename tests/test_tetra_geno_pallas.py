@@ -171,3 +171,46 @@ def test_s_delta_pass_matches_xla(autopoly, n_alleles):
                       for kk in range(k)])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("autopoly,n_alleles", [(True, 4), (False, 2),
+                                                (False, 4)])
+def test_site_ll_pass_matches_xla(autopoly, n_alleles):
+    """The one-pass cal_lkd kernel equals engine._site_loglik summed over
+    loci, for both weight branches (same-z table reads, mixed-z per-slot
+    frequency products)."""
+    from instruct_tpu.kernels.tetra_geno_pallas import site_ll_pass
+
+    panel = synthetic_tetra_panel(n_indv=11, n_loci=18, n_pops=3,
+                                  n_alleles=n_alleles, autopoly=autopoly,
+                                  missing_rate=0.1, seed=9)
+    data = panel.data
+    spec = ModelSpec(mode=2, ploid=4, n_pops=3, autopoly=autopoly)
+    tables = eng.build_tables(spec, data)
+    l, k = data.n_loci, 3
+    key = jax.random.key(8)
+    kf, kf2, kz, ks = jax.random.split(key, 4)
+    a = data.max_alleles
+    freq = jax.random.dirichlet(kf, jnp.ones(a), (k, l)).astype(
+        jnp.float32)
+    freq2 = jax.random.dirichlet(kf2, jnp.ones(a), (k, l)).astype(
+        jnp.float32)
+    z = jax.random.randint(kz, (11, 4 * l), 0, k, dtype=jnp.int8)
+    z = z.at[:5].set(jnp.tile(z[:5, :l], (1, 4)).astype(jnp.int8))
+    n_cand = int(tables.n_patterns_np.max())
+    choice = jnp.minimum(jax.random.randint(jax.random.key(2), (11, l),
+                                            0, n_cand),
+                         tables.cand_nc.astype(jnp.int32) - 1)
+    geno = eng._reconstruct_geno(tables, data, choice, n_cand)
+    log_hwe = eng.log_hwe_table(tables, spec, freq, freq2)
+    table = eng.selfing_equilibrium(
+        tables, log_hwe, jax.random.uniform(ks, (k,), minval=0.1,
+                                            maxval=0.9))
+
+    got = site_ll_pass(table, tables.lookup[tables.cls],
+                       tables.log_mult[tables.cls], freq, freq2, z, geno,
+                       data.site_valid, autopoly=autopoly, interpret=True)
+    want = eng._site_loglik(tables, spec, data, freq, freq2, z, geno,
+                            table).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
