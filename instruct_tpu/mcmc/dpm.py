@@ -44,6 +44,29 @@ _EPS = 1e-30
 _NEG = -1e30
 GRID_M = 128
 
+# The CRP sweeps' seat-choice Gumbel noise is state-independent, so it can
+# be drawn either as one hoisted [N, N+1] plane (fast: one batched
+# threefry pass; measured 13 ms/sweep at N=1000 on v5e) or per row inside
+# the scan (O(N) memory but ~40x slower: the per-iteration key derivation
+# serializes).  The plane is O(N^2) memory — ~400 MB/chain at N=10k
+# (ADVICE r4) — so it is gated: hoisted up to this N, in-scan above.
+_GUMBEL_PLANE_MAX_N = 2048
+
+
+def _seat_gumbel(kg, n):
+    """(plane_or_None); the scan body falls back to per-row draws from
+    fold_in(kg, j) when the plane is gated off."""
+    if n <= _GUMBEL_PLANE_MAX_N:
+        return jax.random.gumbel(kg, (n, n + 1), jnp.float32)
+    return None
+
+
+def _row_gumbel(plane, kg, j, n):
+    if plane is not None:
+        return plane[j]
+    return jax.random.gumbel(jax.random.fold_in(kg, j), (n + 1,),
+                             jnp.float32)
+
 
 class DpmTable(NamedTuple):
     values: jnp.ndarray   # f32[N]
@@ -64,6 +87,7 @@ def init_dpm(key, alpha: float, n: int) -> DpmTable:
     assign = jnp.zeros((n,), jnp.int32)
     kg, kv = jax.random.split(key)
     new_vals = jax.random.uniform(kv, (n,))
+    gplane = _seat_gumbel(kg, n)
 
     def body(carry, j):
         values, counts, assign = carry
@@ -71,13 +95,7 @@ def init_dpm(key, alpha: float, n: int) -> DpmTable:
                                _slog(counts.astype(jnp.float32)), _NEG)
         log_new = _slog(jnp.asarray(alpha, jnp.float32))
         all_masses = jnp.concatenate([log_new[None], log_masses])
-        # per-row noise drawn in-scan from a folded key: state-independent,
-        # so correctness matches a hoisted plane, but memory stays O(N)
-        # instead of an O(N^2) [N, N+1] plane (ADVICE r4 — ~400 MB/chain
-        # at N=10k before the fix)
-        gumbel_j = jax.random.gumbel(jax.random.fold_in(kg, j), (n + 1,),
-                                     jnp.float32)
-        choice = jnp.argmax(all_masses + gumbel_j)
+        choice = jnp.argmax(all_masses + _row_gumbel(gplane, kg, j, n))
         is_new = choice == 0
         free = jnp.argmin(counts)                  # first empty slot
         slot = jnp.where(is_new, free, choice - 1)
@@ -107,13 +125,15 @@ def crp_sweep_selfing(key, table: DpmTable, gen, alpha: float) -> DpmTable:
     depend only on g_j, so the batched rejection sampler runs once up
     front instead of a `while_loop` per scan iteration (measured 70 ->
     ~10 ms/sweep at N=1000 on v5e).  The seat-choice Gumbel noise is
-    drawn per row INSIDE the scan from a folded key — state-independent,
-    so it equals a hoisted plane statistically, without the O(N^2)
-    [N, N+1] memory footprint (ADVICE r4)."""
+    hoisted as one [N, N+1] plane for N <= _GUMBEL_PLANE_MAX_N and drawn
+    per row in-scan above it (state-independent either way — the gate
+    trades the O(N^2) plane memory against the ~40x serial-threefry
+    slowdown of per-row draws; ADVICE r4)."""
     n = gen.shape[0]
     kg, kb = jax.random.split(key)
     gf_all = gen.astype(jnp.float32)
     new_vals = jax.random.beta(kb, gf_all, 2.0)    # [N]
+    gplane = _seat_gumbel(kg, n)
 
     def body(carry, j):
         values, counts, assign = carry
@@ -126,10 +146,9 @@ def crp_sweep_selfing(key, table: DpmTable, gen, alpha: float) -> DpmTable:
         gf = g.astype(jnp.float32)
         log_new = _slog(jnp.asarray(alpha, jnp.float32)) - _slog(gf) \
             - _slog(gf + 1.0)                       # alpha * B(g, 2)
-        gumbel_j = jax.random.gumbel(jax.random.fold_in(kg, j), (n + 1,),
-                                     jnp.float32)   # in-scan: O(N) memory
         choice = jnp.argmax(
-            jnp.concatenate([log_new[None], log_tables]) + gumbel_j)
+            jnp.concatenate([log_new[None], log_tables])
+            + _row_gumbel(gplane, kg, j, n))
         is_new = choice == 0
         free = jnp.argmin(counts)
         slot = jnp.where(is_new, free, choice - 1)
@@ -228,6 +247,7 @@ def crp_sweep_inbreeding(key, table: DpmTable, ll_grid,
     n, m = ll_grid.shape
     grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
     kg, kb = jax.random.split(key)
+    gplane = _seat_gumbel(kg, n)
     # griddy new-value draws depend only on the (precomputed) grid curve,
     # so they batch outside the scan like the Beta draws of the mode-3
     # sweep; the per-j integrals are likewise a single [N]-row logsumexp.
@@ -251,10 +271,9 @@ def crp_sweep_inbreeding(key, table: DpmTable, ll_grid,
         log_tables = jnp.where(counts > 0,
                                _slog(counts.astype(jnp.float32))
                                + onehot @ ll_j, _NEG)
-        gumbel_j = jax.random.gumbel(jax.random.fold_in(kg, j), (n + 1,),
-                                     jnp.float32)   # in-scan: O(N) memory
         choice = jnp.argmax(
-            jnp.concatenate([log_new[None], log_tables]) + gumbel_j)
+            jnp.concatenate([log_new[None], log_tables])
+            + _row_gumbel(gplane, kg, j, n))
         is_new = choice == 0
         free = jnp.argmin(counts)
         slot = jnp.where(is_new, free, choice - 1)
