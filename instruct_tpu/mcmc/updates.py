@@ -207,11 +207,23 @@ def update_z_noadmix(key, data: Dataset, freq, axis_name=None,
 # to telescope — but the reference's per-copy Z kernel draws each copy
 # independently ~ Cat(q_k p_k), which is only approximate Gibbs when the
 # selfing/inbreeding genofreq couples the two copies at same-z sites.
-# Against that implicitly-defined target no marginal correction is
-# available, so the framework keeps the reference's kernel family (parity)
-# and leaves the written-model-exact sampler to the HMC/NUTS/SMC paths
-# (samplers/), whose targets are the explicit densities.  Full numbers in
-# BASELINE.md (round 5).
+# A second experiment sharpened the picture: an EXACT joint (z0, z1)
+# K^2-category Gibbs draw (pair weights q_k0 q_k1 exp(site_loglik),
+# verified against site_loglik pair-by-pair and by empirical draw
+# frequencies) was built and then REMOVED, because combined with the rest
+# of the sweep it recovers S *worse* than the per-copy kernel on data
+# generated from the structure-way model itself (measured S = [0.35, 0.81]
+# vs per-copy [0.09, 0.78], truth [0.1, 0.8]).  The reason: the conjugate
+# P update (Dirichlet on OBSERVED allele counts, update_P/mcmc.c:799-861)
+# is itself not the genofreq-model conditional — a selfing-collapsed
+# homozygote's two observed copies are not two independent draws from
+# p_z — so the reference's sweep is a set of MUTUALLY CALIBRATED
+# approximations (each treats the copy pair as independent draws), and
+# exactifying one kernel alone breaks the cancellation.  The per-copy
+# sweep's calibration is verified by
+# tests/test_driver.py::test_structure_way_generator_recovery; the
+# written-model-exact targets remain the HMC/NUTS/SMC paths (samplers/),
+# whose densities are explicit.  Full numbers in BASELINE.md (round 5).
 
 
 # ---------------------------------------------------------------------------

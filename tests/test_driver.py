@@ -100,3 +100,48 @@ def test_s_subsweeps_preserve_posterior():
     s8 = np.sort(np.asarray(res8.accum.mean.rates), axis=-1)
     assert (s8[:, 0] < 0.45).all() and (s8[:, 1] > 0.55).all(), s8
     np.testing.assert_allclose(s8.mean(0), s1.mean(0), atol=0.12)
+
+
+def test_structure_way_generator_recovery():
+    """The sweep recovers S on data generated from the EXACT structure-way
+    model (selfing collapse applied only at same-z het sites).  This pins
+    the mutual calibration of the sweep's approximations (per-copy z draw
+    + conjugate P count update, docs/DESIGN.md round-5 note): an exact
+    joint-z kernel spliced into this sweep measured S0 ~ 0.35 on the same
+    panel, so a regression here means a kernel change broke the
+    calibration, not a tolerance blip."""
+    import numpy as np
+
+    from instruct_tpu.data.dataset import make_dataset
+
+    def structure_way_panel(n, l, k, s_rates, alpha, seed):
+        rng = np.random.default_rng(seed)
+        freq = rng.dirichlet(np.ones(2), size=(k, l))
+        q = rng.dirichlet(np.full(k, alpha), size=n)
+        sbar = q @ np.asarray(s_rates)
+        gen = np.minimum(rng.geometric(np.clip(1.0 - sbar, 1e-9, 1.0)),
+                         50)
+        geno = np.zeros((n, l, 2), np.int32)
+        for i in range(n):
+            z = rng.choice(k, size=(l, 2), p=q[i])
+            a = np.zeros((l, 2), np.int64)
+            for c in range(2):
+                pf = freq[z[:, c], np.arange(l)]
+                a[:, c] = (rng.random(l)[:, None] > pf.cumsum(1)).sum(1)
+            same = z[:, 0] == z[:, 1]
+            p_surv = 0.5 ** (gen[i] - 1)
+            collapse = same & (rng.random(l) > p_surv)
+            pick = rng.integers(0, 2, l)
+            a[collapse, 0] = a[collapse, pick[collapse]]
+            a[collapse, 1] = a[collapse, 0]
+            geno[i] = a
+        return make_dataset(geno, np.zeros((n, l), bool),
+                            np.full(l, 2, np.int32))
+
+    data = structure_way_panel(100, 100, 2, [0.1, 0.8], 0.2, seed=1)
+    sched = Schedule(n_iter=3000, burnin=1500, thinning=5, n_chains=2,
+                     ckrep=100, nstep_check_empty_cluster=20)
+    spec = ModelSpec(mode=2, n_pops=2, use_pallas=False)
+    res = run_mcmc(data, spec, sched, jax.random.key(0))
+    s = np.sort(np.asarray(res.accum.mean.rates), -1).mean(0)
+    np.testing.assert_allclose(s, [0.1, 0.8], atol=0.1)
