@@ -293,8 +293,8 @@ def run_mcmc(
       collective set is auditable, and site-level PRNG streams are
       shard-folded — so trajectories differ from the unsharded run by
       design (statistically equivalent; posterior parity is tested).
-      Tetraploid panels fall back to GSPMD ("auto") or raise
-      ("shard_map").
+      Tetraploid panels shard too, under the class-uniform permuted
+      loci layout (parallel/loci_shard.py:stack_loci_tetra).
     * "gspmd" — GSPMD auto-partitioning of the XLA path from input
       shardings (bitwise-identical to the unsharded run, but incompatible
       with the fused Pallas custom calls).
@@ -515,7 +515,10 @@ def run_mcmc(
         modes 2/3 and the tetraploid engine, f_i= for 4/5, with the
         adaptive-independence st_i= states when back_refl==0).  Here the
         chains advance in lockstep, so each report emits one such block
-        PER CHAIN; the JSONL log always carries the full rates matrix."""
+        PER CHAIN.  Per-individual modes at scale cap the stdout line at
+        512 values (a 10k-individual x 8-chain run would otherwise print
+        ~1 MB per report) and summarize the rest; the JSONL log always
+        carries the full rates matrix."""
         ll = _host(states.loglik_total)
         rates = _host(states.rates)
         if progress_fn is not None:
@@ -531,11 +534,19 @@ def run_mcmc(
                 lines.append(f"\nStep={start}\tchain={ci}"
                              f"\tlog_likelihood={ll[ci]:f}")
                 if rates.size:
+                    shown = min(rates.shape[-1], 512)
                     parts = []
-                    for i, v in enumerate(rates[ci]):
+                    for i, v in enumerate(rates[ci][:shown]):
                         parts.append(f"{prefix}_{i}={v:f}")
                         if st is not None:
                             parts.append(f"st_{i}={int(st[ci, i])}")
+                    if shown < rates.shape[-1]:
+                        row = rates[ci]
+                        parts.append(
+                            f"... [{rates.shape[-1] - shown} more; "
+                            f"min={row.min():f} mean={row.mean():f} "
+                            f"max={row.max():f}; full values in the "
+                            "JSONL log]")
                     lines.append(" ".join(parts))
             print("\n".join(lines), flush=True)
         if jsonl_log:

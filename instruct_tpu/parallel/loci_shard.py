@@ -113,6 +113,27 @@ def tetra_shard_plan(data: Dataset, n_shards: int) -> np.ndarray:
     return np.asarray(shard_src, np.int64)
 
 
+def _shard_class_counts(data: Dataset, src: np.ndarray) -> np.ndarray:
+    """cnt i64[n_shards, L_loc]: the allele count of each local column's
+    CLASS — identical across shards by construction, including padding
+    columns (which must inherit the class being padded, NOT locus 0's
+    count, or the shard-0-built tables would not describe every shard)."""
+    n_all = np.asarray(data.allele_valid).sum(-1).astype(np.int64)
+    n_shards, ll = src.shape
+    cnt = np.empty((n_shards, ll), np.int64)
+    real = src >= 0
+    cnt[real] = n_all[src[real]]
+    # every shard has the same class layout: fill each shard's padding
+    # from shard 0's column classes (shard 0 never holds padding before
+    # the last chunk of a class, but guard via a cross-shard max)
+    col_class = cnt.copy()
+    col_class[~real] = -1
+    col_fill = col_class.max(axis=0)           # [L_loc], -1-free by design
+    for s in range(n_shards):
+        cnt[s, ~real[s]] = col_fill[~real[s]]
+    return cnt
+
+
 def stack_loci_tetra(data: Dataset, n_shards: int) -> Dataset:
     """Tetraploid counterpart of :func:`stack_loci`: per-shard local
     panels under the class-uniform permutation of :func:`tetra_shard_plan`
@@ -123,10 +144,10 @@ def stack_loci_tetra(data: Dataset, n_shards: int) -> Dataset:
     of per-locus quantities (P) must be mapped back through the plan;
     chain-level summaries (S, Q, log-lik, WAIC) are unaffected."""
     src = tetra_shard_plan(data, n_shards)                   # [S, L_loc]
+    cls_cnt = _shard_class_counts(data, src)                 # [S, L_loc]
     n = data.n_indv
     a = data.max_alleles
     l = data.n_loci
-    n_all = np.asarray(data.allele_valid).sum(-1).astype(np.int64)
     geno3 = np.asarray(data.geno).reshape(n, 4, l)
     dist3 = np.asarray(data.distinct).reshape(n, 4, l)
     sv = np.asarray(data.site_valid)
@@ -148,10 +169,10 @@ def stack_loci_tetra(data: Dataset, n_shards: int) -> Dataset:
         hx[:, pad] = True
         ndx = nd[:, safe].copy()
         ndx[:, pad] = 1
-        # padding loci inherit the class's allele count so the local
-        # class layout is identical across shards
-        counts = n_all[safe]
-        avx = np.arange(a)[None, :] < counts[:, None]
+        # padding loci inherit the CLASS's allele count (not locus 0's —
+        # that broke the cross-shard identical-class invariant on
+        # mixed-allele-count panels; round-5 self-review finding)
+        avx = np.arange(a)[None, :] < cls_cnt[s][:, None]
         ll = cols.shape[0]
         genos.append(g.reshape(n, 4 * ll))
         dists.append(d.reshape(n, 4 * ll))

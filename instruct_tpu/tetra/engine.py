@@ -84,12 +84,15 @@ class TetraTables(NamedTuple):
     #   static data, precomputed for the Pallas genotype-move kernel
 
 
-# identity-keyed memo: build_tables is called by the step builder, the
-# model-choice pass (step.build_marg_loglik) and the plug-in deviance for
-# the SAME panel — rebuilding would duplicate the host combinatorics and,
-# worse, the [C, N, L] candidate planes on device (~120 MB at 500x5k).
-# Tables depend only on (panel, autopoly), so identity of data.geno plus
-# the autopoly flag is a complete key; bounded to the last few panels.
+# Identity-keyed memo for the CANDIDATE-FREE tables only: the chain
+# driver, the model-choice pass (step.build_marg_loglik) and the plug-in
+# deviance all build tables for the same panel in one run_mcmc call, and
+# the host combinatorics are worth sharing.  with_candidates=True tables
+# are deliberately NOT cached — their [C, N, L] device planes (~120 MB at
+# 500x5k) would stay pinned for process lifetime (round-5 self-review).
+# The key checks BOTH geno and allele_valid identity: two Datasets could
+# share a geno array while differing in the allele layout that drives the
+# class tables.
 _TABLES_CACHE: list = []
 
 
@@ -100,12 +103,14 @@ def build_tables(spec: ModelSpec, data: Dataset,
     the planes in-trace (retable_candidates), so materializing concrete
     ones would embed gigabytes of dead device constants at biobank
     panel sizes."""
-    key = (bool(spec.autopoly), bool(with_candidates))
-    for g, k, tab in _TABLES_CACHE:
-        if g is data.geno and k == key:
+    if with_candidates:
+        return _build_tables(spec, data, True)
+    ap = bool(spec.autopoly)
+    for g, av, k, tab in _TABLES_CACHE:
+        if g is data.geno and av is data.allele_valid and k == ap:
             return tab
-    tab = _build_tables(spec, data, with_candidates)
-    _TABLES_CACHE.append((data.geno, key, tab))
+    tab = _build_tables(spec, data, False)
+    _TABLES_CACHE.append((data.geno, data.allele_valid, ap, tab))
     if len(_TABLES_CACHE) > 6:
         _TABLES_CACHE.pop(0)
     return tab
@@ -769,13 +774,22 @@ def build_tetra_step(spec: ModelSpec, data: Dataset, axis_name=None,
         tab_cur = selfing_equilibrium(tables, log_hwe, state.rates)
         rates = state.rates
         ais = state.ais_state
-        if fused_geno and max(1, spec.s_subsweeps) == 1:
-            # single-sweep fast path: the per-pop MH log-ratio comes out
-            # of one Pallas site pass (kernels/tetra_geno_pallas.py:
-            # s_delta_pass) instead of the _site_class + 2x _table_at
-            # select chains
-            from instruct_tpu.kernels.tetra_geno_pallas import s_delta_pass
-            kacc, kprop = jax.random.split(jax.random.fold_in(ks, 0))
+        n_sweeps = max(1, spec.s_subsweeps)
+        # single-sweep fused fast path: the per-pop MH log-ratio comes
+        # out of one Pallas site pass (kernels/tetra_geno_pallas.py:
+        # s_delta_pass) instead of the _site_class + 2x _table_at select
+        # chains; the multi-sweep XLA path carries the current per-site
+        # values (ll_cur) so later sweeps reuse them
+        use_sdelta = fused_geno and n_sweeps == 1
+        if not use_sdelta:
+            cls_idx = _site_class(tables, data, state.geno)
+            zc = _split4(state.z)
+            same_z = ((zc[0] == zc[1]) & (zc[1] == zc[2])
+                      & (zc[2] == zc[3]))
+            s_mask = same_z & data.site_valid
+            ll_cur = _table_at(tab_cur, zc[0], cls_idx)
+        for j in range(n_sweeps):
+            kacc, kprop = jax.random.split(jax.random.fold_in(ks, j))
             if spec.back_refl == 1:
                 prop = up.propose_back_reflection(kprop, rates,
                                                   spec.mh_step_s)
@@ -785,49 +799,28 @@ def build_tetra_step(spec: ModelSpec, data: Dataset, axis_name=None,
                 prop, prop_states, log_hast = \
                     up.propose_adaptive_independence(kprop, rates, ais)
             tab_prop = selfing_equilibrium(tables, log_hwe, prop)
-            lookup_l = tables.lookup[tables.cls]             # [L, V]
-            delta = up._psum(
-                s_delta_pass(tab_cur, tab_prop, lookup_l, state.z,
-                             state.geno, data.site_valid), axis_name)
-            u = jax.random.uniform(kacc, (spec.n_pops,), minval=_EPS)
-            accept = jnp.log(u) < delta + log_hast
-            rates = jnp.where(accept, prop, rates)
-            ais = jnp.where(accept, prop_states, ais)
-            tab_cur = jnp.where(accept[:, None, None], tab_prop, tab_cur)
-        else:
-            cls_idx = _site_class(tables, data, state.geno)
-            zc = _split4(state.z)
-            same_z = ((zc[0] == zc[1]) & (zc[1] == zc[2])
-                      & (zc[2] == zc[3]))
-            s_mask = same_z & data.site_valid
-            ll_cur = _table_at(tab_cur, zc[0], cls_idx)
-            for j in range(max(1, spec.s_subsweeps)):
-                ksj = jax.random.fold_in(ks, j)
-                kacc, kprop = jax.random.split(ksj)
-                if spec.back_refl == 1:
-                    prop = up.propose_back_reflection(kprop, rates,
-                                                      spec.mh_step_s)
-                    prop_states = ais
-                    log_hast = jnp.zeros_like(rates)
-                else:
-                    prop, prop_states, log_hast = \
-                        up.propose_adaptive_independence(kprop, rates, ais)
-                tab_prop = selfing_equilibrium(tables, log_hwe, prop)
+            if use_sdelta:
+                from instruct_tpu.kernels.tetra_geno_pallas import \
+                    s_delta_pass
+                delta = up._psum(
+                    s_delta_pass(tab_cur, tab_prop,
+                                 tables.lookup[tables.cls], state.z,
+                                 state.geno, data.site_valid), axis_name)
+            else:
                 ll_prop = _table_at(tab_prop, zc[0], cls_idx)
                 diff = jnp.where(s_mask, ll_prop - ll_cur, 0.0)
                 delta = up._psum(
                     jnp.stack([jnp.where(zc[0] == kk, diff, 0.0).sum()
                                for kk in range(spec.n_pops)]), axis_name)
-                u = jax.random.uniform(kacc, (spec.n_pops,), minval=_EPS)
-                accept = jnp.log(u) < delta + log_hast
-                rates = jnp.where(accept, prop, rates)
-                ais = jnp.where(accept, prop_states, ais)
-                # the accepted table/site values are per-pop selects of
-                # the two already-solved tables — no third equilibrium
-                # solve (the reference re-solves via move_genofreq,
-                # poly_geno.c:737)
-                tab_cur = jnp.where(accept[:, None, None], tab_prop,
-                                    tab_cur)
+            u = jax.random.uniform(kacc, (spec.n_pops,), minval=_EPS)
+            accept = jnp.log(u) < delta + log_hast
+            rates = jnp.where(accept, prop, rates)
+            ais = jnp.where(accept, prop_states, ais)
+            # the accepted table/site values are per-pop selects of the
+            # two already-solved tables — no third equilibrium solve (the
+            # reference re-solves via move_genofreq, poly_geno.c:737)
+            tab_cur = jnp.where(accept[:, None, None], tab_prop, tab_cur)
+            if not use_sdelta:
                 acc_site = jnp.zeros(ll_cur.shape, jnp.bool_)
                 for kk in range(spec.n_pops):
                     acc_site = acc_site | ((zc[0] == kk) & accept[kk])

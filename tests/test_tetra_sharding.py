@@ -21,47 +21,84 @@ needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
                              reason="needs 8 virtual devices")
 
 
+def _mixed_class_tetra_data(n=8, l=23, seed=2):
+    """A panel whose loci GENUINELY span allele-count classes 2/3/4 with
+    counts not divisible by the shard count — synthetic_tetra_panel with
+    n_alleles=4 makes every locus quad-allelic, which left the original
+    cross-shard assertion vacuous (round-5 self-review finding)."""
+    from instruct_tpu.data.dataset import make_dataset
+    rng = np.random.default_rng(seed)
+    n_alleles = rng.choice([2, 3, 4], size=l, p=[0.5, 0.3, 0.2])
+    n_alleles[:3] = [2, 3, 4]                 # every class present
+    nd = np.minimum(rng.integers(1, 5, size=(n, l)), n_alleles[None, :])
+    distinct = np.zeros((n, l, 4), np.int32)
+    for i in range(n):
+        for j in range(l):
+            vals = np.sort(rng.choice(n_alleles[j], size=nd[i, j],
+                                      replace=False))
+            distinct[i, j, :nd[i, j]] = vals
+    return make_dataset(distinct, np.zeros((n, l), bool),
+                        n_alleles.astype(np.int32), distinct=distinct,
+                        n_distinct=nd)
+
+
 def test_tetra_shard_plan_class_uniform():
-    """Every shard's local class layout (per-column allele count) is
-    identical, and every real locus appears exactly once."""
-    panel = synthetic_tetra_panel(n_indv=6, n_loci=23, n_pops=2,
-                                  n_alleles=4, seed=2)
-    # mixed allele counts: panel loci may be monomorphic/bi/tri/quad
-    src = ls.tetra_shard_plan(panel.data, 4)
-    n_all = np.asarray(panel.data.allele_valid).sum(-1)
-    counts = np.where(src >= 0, n_all[np.maximum(src, 0)], -1)
-    # padding slots inherit the class count in the stacked panel; here
-    # check the real slots' class sequence matches across shards wherever
-    # both shards have real loci, via the stacked allele_valid
-    stacked = ls.stack_loci_tetra(panel.data, 4)
-    av = np.asarray(stacked.allele_valid).sum(-1)            # [S, L_loc]
-    for s in range(1, 4):
-        np.testing.assert_array_equal(av[s], av[0])
+    """On a genuinely mixed-class panel: every shard's local class layout
+    (per-column allele count, INCLUDING padding columns) is identical,
+    every real locus appears exactly once, and build_tables on each
+    shard's local view yields the same class map — the invariant that
+    lets shard-0 tables serve every shard of the one traced program."""
+    from instruct_tpu.config import ModelSpec
+    from instruct_tpu.tetra import engine as eng
+
+    data = _mixed_class_tetra_data()
+    n_shards = 4
+    src = ls.tetra_shard_plan(data, n_shards)
     real = src[src >= 0]
-    assert sorted(real.tolist()) == list(range(panel.data.n_loci))
-    assert counts.shape == src.shape
+    assert sorted(real.tolist()) == list(range(data.n_loci))
+    assert (src < 0).any(), "plan must exercise padding columns"
+
+    stacked = ls.stack_loci_tetra(data, n_shards)
+    av = np.asarray(stacked.allele_valid).sum(-1)            # [S, L_loc]
+    for s in range(1, n_shards):
+        np.testing.assert_array_equal(av[s], av[0])
+
+    spec = ModelSpec(mode=2, ploid=4, n_pops=2)
+
+    def class_struct(tab):
+        return [(ci, tuple(loci.tolist()), g)
+                for ci, loci, g in tab.class_loci]
+
+    ref = None
+    for s in range(n_shards):
+        local = jax.tree.map(lambda x: x[s], stacked)
+        tab = eng.build_tables(spec, local, with_candidates=False)
+        cur = (np.asarray(tab.cls).tolist(), class_struct(tab))
+        if ref is None:
+            ref = cur
+        assert cur == ref, f"shard {s} class structure diverges"
 
 
 @needs_8
 def test_tetra_sharded_loglik_exact():
     """The psummed per-individual log-lik leaving the sharded tetra run
     equals the per-shard recomputation from the reassembled final state —
-    verifies collective placement and the class-uniform blocked layout."""
-    panel = synthetic_tetra_panel(n_indv=8, n_loci=15, n_pops=2,
-                                  n_alleles=2, seed=5)
+    verifies collective placement and the class-uniform blocked layout,
+    on a MIXED-allele-count panel (multiple classes + padding columns)."""
+    data = _mixed_class_tetra_data(n=8, l=15, seed=5)
     spec = ModelSpec(mode=2, ploid=4, n_pops=2)
     sched = Schedule(n_iter=10, burnin=4, thinning=2, n_chains=2, ckrep=2,
                      nstep_check_empty_cluster=2)
     n_ds = 4
     mesh = make_mesh(2, n_ds)
-    res = run_mcmc(panel.data, spec, sched, jax.random.key(3), mesh=mesh)
+    res = run_mcmc(data, spec, sched, jax.random.key(3), mesh=mesh)
 
-    stacked = ls.stack_loci_tetra(panel.data, n_ds)
+    stacked = ls.stack_loci_tetra(data, n_ds)
     tables = eng.build_tables(spec, ls.local_view(stacked))
     ll_loc = stacked.site_valid.shape[-1]
     st = res.final_state
     c = np.asarray(st.loglik_indv).shape[0]
-    want = np.zeros((c, panel.data.n_indv))
+    want = np.zeros((c, data.n_indv))
     for ci in range(c):
         for s in range(n_ds):
             local = jax.tree.map(lambda x: x[s], stacked)
