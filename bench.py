@@ -270,6 +270,12 @@ def main():
         "value": round(float(ess_per_sec), 3),
         "unit": "ESS/s",
         "vs_baseline": round(float(vs), 2),
+        "note": ("NOT COMPARABLE to BENCH_r01-r04 values: rounds 1-4 "
+                 "computed ESS on chain-interleaved series (a trace-axis "
+                 "bug that inflated ESS ~3.2x); this value uses the "
+                 "honest per-chain estimator.  Throughput "
+                 "(chain_steps_per_sec, vs_baseline) is comparable "
+                 "across rounds.  See BASELINE.md round 5."),
         "detail": {
             "chain_steps_per_sec": round(chain_steps_per_sec, 3),
             "ess_per_chain_step": round(float(ess_per_chain_step), 5),
